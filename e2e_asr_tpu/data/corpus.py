@@ -1,0 +1,160 @@
+"""Corpus adapters: filesystem -> utterance manifests.
+
+Parity with the reference's ``corpus/librispeech.py`` LibriDataset (walks
+split dirs for audio + ``*.trans.txt``, pre-encodes transcripts, sorts by
+length for bucketing) plus a deterministic synthetic corpus used by tests
+and benchmarks (the sandbox has no FLAC decoder or LibriSpeech mirror —
+SURVEY.md §7.1a).
+
+An utterance is (uid, loader, transcript, n_samples); `loader()` returns the
+float32 waveform lazily so manifests stay cheap.
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class Utterance:
+    uid: str
+    load: Callable[[], np.ndarray]  # -> float32 [n_samples]
+    text: str
+    n_samples: int
+
+
+def _load_wav(path: str) -> np.ndarray:
+    """Minimal PCM wav reader (no soundfile/torchaudio in the image)."""
+    with wave.open(path, "rb") as f:
+        n = f.getnframes()
+        width = f.getsampwidth()
+        data = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported wav sample width {width} in {path}")
+    return x
+
+
+def _wav_samples(path: str) -> int:
+    with wave.open(path, "rb") as f:
+        return f.getnframes()
+
+
+def _load_npy(path: str) -> np.ndarray:
+    return np.load(path).astype(np.float32).reshape(-1)
+
+
+def librispeech(
+    path: str, splits: Sequence[str], sample_rate: int = 16000
+) -> List[Utterance]:
+    """Walk LibriSpeech-layout split dirs (ref: corpus/librispeech.py).
+
+    Layout: <path>/<split>/<spk>/<chap>/<uid>.{wav,npy} + <spk>-<chap>.trans.txt
+    (a pre-decoded mirror: .flac is not readable in this sandbox; decode to
+    wav/npy offline, same directory structure).
+    """
+    utts: List[Utterance] = []
+    for split in splits:
+        root = os.path.join(path, split)
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"corpus split dir not found: {root}")
+        for dirpath, _, files in sorted(os.walk(root)):
+            trans: Dict[str, str] = {}
+            for fn in files:
+                if fn.endswith(".trans.txt"):
+                    with open(os.path.join(dirpath, fn)) as f:
+                        for line in f:
+                            uid, _, text = line.strip().partition(" ")
+                            trans[uid] = text
+            for fn in sorted(files):
+                base, ext = os.path.splitext(fn)
+                if ext not in (".wav", ".npy"):
+                    if ext == ".flac":
+                        raise RuntimeError(
+                            "FLAC decode unavailable in this environment; "
+                            "pre-decode LibriSpeech to .wav or .npy"
+                        )
+                    continue
+                if base not in trans:
+                    continue
+                full = os.path.join(dirpath, fn)
+                if ext == ".wav":
+                    utts.append(Utterance(base, lambda p=full: _load_wav(p), trans[base], _wav_samples(full)))
+                else:
+                    n = int(np.load(full, mmap_mode="r").size)
+                    utts.append(Utterance(base, lambda p=full: _load_npy(p), trans[base], n))
+    return utts
+
+
+_SYNTH_WORDS = (
+    "THE OF AND TO IN IS THAT IT WAS FOR ON ARE AS WITH HIS THEY AT BE THIS "
+    "HAVE FROM OR ONE HAD BY WORD BUT NOT WHAT ALL WERE WE WHEN YOUR CAN SAID "
+    "THERE USE AN EACH WHICH SHE DO HOW THEIR IF WILL UP OTHER ABOUT OUT MANY "
+    "THEN THEM THESE SO SOME HER WOULD MAKE LIKE HIM INTO TIME HAS LOOK TWO "
+    "MORE WRITE GO SEE NUMBER NO WAY COULD PEOPLE MY THAN FIRST WATER BEEN "
+    "CALL WHO OIL ITS NOW FIND LONG DOWN DAY DID GET COME MADE MAY PART"
+).split()
+
+
+def synthetic(
+    n_utts: int = 64,
+    sample_rate: int = 16000,
+    min_sec: float = 1.0,
+    max_sec: float = 8.0,
+    seed: int = 0,
+    audible: bool = True,
+) -> List[Utterance]:
+    """Deterministic synthetic speech-like corpus.
+
+    Each utterance's waveform is a word-dependent tone+noise sequence so the
+    audio actually *contains* the transcript information — overfit and
+    decode tests exercise a learnable mapping, not memorization of noise.
+    """
+    rng = np.random.RandomState(seed)
+    utts: List[Utterance] = []
+    for i in range(n_utts):
+        n_words = rng.randint(2, 9)
+        words = [
+            _SYNTH_WORDS[rng.randint(len(_SYNTH_WORDS))] for _ in range(n_words)
+        ]
+        text = " ".join(words)
+        dur = float(rng.uniform(min_sec, max_sec))
+        n = int(dur * sample_rate)
+
+        def make(words=tuple(words), n=n, seed=rng.randint(1 << 30)):
+            r = np.random.RandomState(seed)
+            x = 0.01 * r.randn(n).astype(np.float32)
+            if audible:
+                seg = max(1, n // max(len(words), 1))
+                tt = np.arange(n) / sample_rate
+                for j, w in enumerate(words):
+                    f0 = 200.0 + 37.0 * (hash(w) % 40)
+                    s, e = j * seg, min(n, (j + 1) * seg)
+                    x[s:e] += 0.3 * np.sin(2 * np.pi * f0 * tt[s:e]).astype(np.float32)
+                    x[s:e] += 0.15 * np.sin(4 * np.pi * f0 * tt[s:e]).astype(np.float32)
+            return x
+
+        utts.append(Utterance(f"synth-{i:05d}", make, text, n))
+    return utts
+
+
+def load_corpus(name: str, path: str, splits: Sequence[str], **kw) -> List[Utterance]:
+    """ref: src/data.py imports corpus.<name> by name."""
+    if name == "librispeech":
+        return librispeech(path, splits, **kw)
+    if name == "synthetic":
+        seed = {"train": 0, "dev": 1, "test": 2}
+        out: List[Utterance] = []
+        for s in splits:
+            base, _, n = s.partition(":")
+            out.extend(synthetic(n_utts=int(n or 64), seed=seed.get(base, 3), **kw))
+        return out
+    raise ValueError(f"unknown corpus '{name}'")

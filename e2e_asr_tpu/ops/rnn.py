@@ -1,0 +1,135 @@
+"""Length-masked LSTM/GRU recurrences as `jax.lax.scan` over time.
+
+The reference's encoder/decoder/LM recurrence is cuDNN's fused LSTM behind
+``torch.nn.LSTM`` (ref: src/module.py RNNLayer, src/asr.py Decoder,
+src/lm.py RNNLM). TPU-native redesign:
+
+- The input projection x_t @ Wx for *all* timesteps is hoisted out of the
+  sequential loop into one [B*T, D]x[D, 4H] MXU matmul; the scan body only
+  does the [B, H]x[H, 4H] hidden matmul + elementwise gates (VPU).
+- Variable length is handled by masking the carry update (h/c freeze past
+  each sequence's end), so right-padded batches stay correct without any
+  pack/unpack like torch's PackedSequence.
+- Backward direction = flip time, scan, flip back; with zero initial state
+  and frozen-carry masking the flipped padding prefix is inert.
+
+Weights layout: Wx [D, G*H], Wh [H, G*H], b [G*H] with G=4 (LSTM: i,f,g,o)
+or G=3 (GRU: r,z,n — torch gate order/formulation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LSTMWeights(NamedTuple):
+    wx: jnp.ndarray  # [D, 4H]
+    wh: jnp.ndarray  # [H, 4H]
+    b: jnp.ndarray  # [4H]
+
+
+def lstm_cell(
+    xw_t: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, wh: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One LSTM step. xw_t = x_t @ Wx + b precomputed. Returns (h', c')."""
+    gates = xw_t + h @ wh
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def gru_cell(xw_t: jnp.ndarray, h: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step (torch formulation: n uses r * (h @ Wh_n))."""
+    xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+    hr, hz, hn = jnp.split(h @ wh, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def _masked_scan(cell_step, xw: jnp.ndarray, mask: jnp.ndarray, state0):
+    """Scan `cell_step` over time with carry freezing where ~mask.
+
+    xw: [T, B, GH] precomputed input projections (time-major for scan).
+    mask: [T, B] validity. state0: pytree of [B, H] arrays.
+    Returns (ys [T, B, H], final_state).
+    """
+
+    def step(state, inp):
+        xw_t, m = inp
+        new_state, y = cell_step(xw_t, state)
+        m = m[:, None]
+        new_state = jax.tree.map(lambda n, o: jnp.where(m, n, o), new_state, state)
+        return new_state, jnp.where(m, y, 0.0)
+
+    final, ys = jax.lax.scan(step, state0, (xw, mask))
+    return ys, final
+
+
+def lstm(
+    x: jnp.ndarray,
+    x_len: jnp.ndarray,
+    w: LSTMWeights,
+    reverse: bool = False,
+    h0: Optional[jnp.ndarray] = None,
+    c0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """[B, T, D] -> [B, T, H]; returns (outputs, (h_T, c_T))."""
+    b, t, _ = x.shape
+    hdim = w.wh.shape[0]
+    compute_dtype = x.dtype
+    xw = x @ w.wx.astype(compute_dtype) + w.b.astype(compute_dtype)  # hoisted MXU matmul
+    xw = jnp.moveaxis(xw, 0, 1)  # [T, B, 4H]
+    tidx = jnp.arange(t)
+    mask = tidx[:, None] < x_len[None, :]  # [T, B]
+    if reverse:
+        xw = jnp.flip(xw, axis=0)
+        mask = jnp.flip(mask, axis=0)
+    h = jnp.zeros((b, hdim), compute_dtype) if h0 is None else h0
+    c = jnp.zeros((b, hdim), compute_dtype) if c0 is None else c0
+    wh = w.wh.astype(compute_dtype)
+
+    def cell_step(xw_t, state):
+        h, c = state
+        h2, c2 = lstm_cell(xw_t, h, c, wh)
+        return (h2, c2), h2
+
+    ys, (h_f, c_f) = _masked_scan(cell_step, xw, mask, (h, c))
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.moveaxis(ys, 0, 1), (h_f, c_f)
+
+
+def gru(
+    x: jnp.ndarray,
+    x_len: jnp.ndarray,
+    w: LSTMWeights,
+    reverse: bool = False,
+    h0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T, D] -> [B, T, H]; returns (outputs, h_T). w.wx/[D,3H]."""
+    b, t, _ = x.shape
+    hdim = w.wh.shape[0]
+    xw = x @ w.wx.astype(x.dtype) + w.b.astype(x.dtype)
+    xw = jnp.moveaxis(xw, 0, 1)
+    tidx = jnp.arange(t)
+    mask = tidx[:, None] < x_len[None, :]
+    if reverse:
+        xw = jnp.flip(xw, axis=0)
+        mask = jnp.flip(mask, axis=0)
+    h = jnp.zeros((b, hdim), x.dtype) if h0 is None else h0
+    wh = w.wh.astype(x.dtype)
+
+    def cell_step(xw_t, state):
+        h2 = gru_cell(xw_t, state, wh)
+        return h2, h2
+
+    ys, h_f = _masked_scan(cell_step, xw, mask, h)
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.moveaxis(ys, 0, 1), h_f

@@ -1,0 +1,21 @@
+"""Test harness config: 8 virtual CPU devices for real sharding semantics.
+
+SURVEY.md §4: distributed tests run on a faked 8-device CPU mesh via
+--xla_force_host_platform_device_count (standard JAX trick) so `psum` /
+sharding behavior is exercised without TPU hardware. Pallas kernels run in
+interpret mode on CPU; set E2E_ASR_TPU_TESTS=1 to run the suite against the
+real TPU backend instead.
+"""
+
+import os
+
+if not os.environ.get("E2E_ASR_TPU_TESTS"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:  # pragma: no cover
+    import jax  # noqa: F401

