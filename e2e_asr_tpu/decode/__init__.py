@@ -1,0 +1,1 @@
+from e2e_asr_tpu.decode.greedy import greedy_decode, ctc_greedy_decode  # noqa: F401

@@ -1,0 +1,165 @@
+"""The joint CTC/attention ASR model (Listen-Attend-Spell + CTC head).
+
+Parity with the reference's src/asr.py ASR module:
+- encoder (VGG/CNN prenet + pyramidal BiLSTM) shared by both heads
+- CTC head: linear projection -> log-softmax (enabled when ctc_weight > 0)
+- attention head: char embedding + per-step attention + LSTM speller with
+  scheduled teacher forcing (enabled when ctc_weight < 1)
+
+TPU-native redesign of the forward pass: the reference's per-token Python
+loop (src/asr.py:~150 `for t in range(decode_step)`) becomes one
+`jax.lax.scan` over target positions with the decoder/attention state as
+the carry; the per-step teacher-forcing coin flips are drawn up front and
+scanned over. Everything is fixed-shape: `decode_step` is the (bucketed)
+max target length and per-utterance validity is handled by loss masks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import ModelConfig
+from e2e_asr_tpu.models import attention as att_mod
+from e2e_asr_tpu.models import decoder as dec_mod
+from e2e_asr_tpu.models import encoder as enc_mod
+from e2e_asr_tpu.models import layers as L
+
+Params = Dict[str, object]
+
+
+class ASRShapes(NamedTuple):
+    enc_dim: int
+    ctx_dim: int
+    emb_dim: int
+    vocab: int
+
+
+def asr_init(key, feat_dim: int, vocab: int, cfg: ModelConfig) -> Tuple[Params, ASRShapes]:
+    ks = jax.random.split(key, 5)
+    p: Params = {}
+    p["encoder"], enc_dim = enc_mod.encoder_init(ks[0], feat_dim, cfg.encoder)
+    ctx_dim = enc_dim
+    emb_dim = cfg.decoder.dim
+    if cfg.ctc_weight > 0:
+        p["ctc"] = L.dense_init(ks[1], enc_dim, vocab)
+    if cfg.ctc_weight < 1:
+        p["embed"] = L.embedding_init(ks[2], vocab, emb_dim)
+        p["attention"], ctx_dim = att_mod.attention_init(ks[3], enc_dim, cfg.decoder.dim, cfg.attention)
+        p["decoder"] = dec_mod.decoder_init(ks[4], ctx_dim + emb_dim, vocab, cfg.decoder)
+    return p, ASRShapes(enc_dim, ctx_dim, emb_dim, vocab)
+
+
+def encode(
+    params: Params,
+    cfg: ModelConfig,
+    feat: jnp.ndarray,
+    feat_len: jnp.ndarray,
+    rng=None,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return enc_mod.encoder_apply(params["encoder"], cfg.encoder, feat, feat_len, rng, train)
+
+
+def ctc_log_probs(params: Params, enc: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.log_softmax(L.dense(params["ctc"], enc), axis=-1)
+
+
+class DecodeCarry(NamedTuple):
+    dec_state: dec_mod.State
+    prev_att: jnp.ndarray  # [B, H, S]
+    prev_tok: jnp.ndarray  # [B] int32
+
+
+def attend_and_step(
+    params: Params,
+    cfg: ModelConfig,
+    mem: Dict,
+    carry: DecodeCarry,
+    tok: jnp.ndarray,
+    rng=None,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeCarry]:
+    """Shared single-token decode: embed `tok`, attend with the *current*
+    decoder state as query (ref ordering: attention before the RNN step),
+    then advance the speller. Returns (logits, align, new_carry)."""
+    emb = L.embed(params["embed"], tok, dtype=mem["k"].dtype)
+    query = dec_mod.query_of(carry.dec_state)
+    align, ctx = att_mod.step(params["attention"], cfg.attention, query, mem, carry.prev_att)
+    logits, _, new_state = dec_mod.step(
+        params["decoder"], cfg.decoder, carry.dec_state, jnp.concatenate([emb, ctx], -1),
+        rng=rng, train=train,
+    )
+    return logits, align, DecodeCarry(new_state, align, tok)
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    feat: jnp.ndarray,
+    feat_len: jnp.ndarray,
+    decode_step: int,
+    tf_rate: float = 1.0,
+    teacher: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    sample_decoding: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full training/eval forward (ref: ASR.forward).
+
+    teacher: [B, L] target ids (with eos, 0-padded); decoder inputs are the
+    right-shifted targets starting from <sos>=0. When the per-step coin
+    exceeds tf_rate the previous prediction is fed back instead (sampled
+    from the output distribution when `sample_decoding`, argmax otherwise —
+    ref: scheduled sampling in src/asr.py).
+
+    Returns dict: ctc_log_probs [B,S,V] (if ctc head), enc_len [B],
+    att_logits [B,L,V], align [B,L,H,S] (if attention head).
+    """
+    b = feat.shape[0]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    r_enc, r_scan = jax.random.split(rng)
+    enc, enc_len = encode(params, cfg, feat, feat_len, r_enc, train)
+    out: Dict[str, jnp.ndarray] = {"enc_len": enc_len, "enc": enc}
+    if "ctc" in params:
+        out["ctc_log_probs"] = ctc_log_probs(params, enc)
+    if "decoder" not in params:
+        return out
+
+    assert teacher is not None, "attention head requires teacher tokens"
+    mem = att_mod.prepare(params["attention"], cfg.attention, enc, enc_len)
+    carry0 = DecodeCarry(
+        dec_state=dec_mod.init_state(b, cfg.decoder, enc.dtype),
+        prev_att=att_mod.init_align(cfg.attention, mem).astype(enc.dtype),
+        prev_tok=jnp.zeros((b,), jnp.int32),  # <sos>
+    )
+    # decoder inputs: <sos>, y_0, ..., y_{L-2}
+    teacher_in = jnp.concatenate(
+        [jnp.zeros((b, 1), teacher.dtype), teacher[:, : decode_step - 1]], axis=1
+    )
+    step_rngs = jax.random.split(r_scan, decode_step)
+    # one teacher-forcing coin per step for the whole batch (ref semantics)
+    coins = jax.random.uniform(jax.random.fold_in(r_scan, 1), (decode_step,)) < tf_rate
+
+    def body(carry: DecodeCarry, inp):
+        tok_teacher, coin, r = inp
+        use_teacher = jnp.logical_or(coin, jnp.asarray(not train))
+        tok = jnp.where(use_teacher, tok_teacher, carry.prev_tok)
+        logits, align, new_carry = attend_and_step(
+            params, cfg, mem, carry, tok, rng=r, train=train
+        )
+        if sample_decoding:
+            pred = jax.random.categorical(jax.random.fold_in(r, 17), logits)
+        else:
+            pred = jnp.argmax(logits, -1)
+        new_carry = new_carry._replace(prev_tok=pred.astype(jnp.int32))
+        return new_carry, (logits, align)
+
+    _, (att_logits, aligns) = jax.lax.scan(
+        body, carry0, (jnp.moveaxis(teacher_in, 0, 1), coins, step_rngs)
+    )
+    out["att_logits"] = jnp.moveaxis(att_logits, 0, 1)  # [B, L, V]
+    out["align"] = jnp.moveaxis(aligns, 0, 1)  # [B, L, H, S]
+    return out

@@ -1,0 +1,114 @@
+"""Attention mechanisms: scaled-dot and location-aware, multi-head.
+
+Parity with the reference's src/module.py BaseAttention /
+ScaleDotAttention / LocationAwareAttention and the Attention wrapper in
+src/asr.py (per-utterance cached key/value projections via reset_mem,
+multi-head merge linear, softmax temperature, length masking).
+
+TPU-native design: attention is split into
+- `prepare(params, cfg, enc, enc_len)` — once per utterance: projects
+  keys/values for all heads (batched MXU matmuls) and builds the length
+  mask. This is the functional analogue of the reference's
+  `reset_mem`/`set_mem` state stashing.
+- `step(params, cfg, query, mem, prev_att)` — once per decoded token,
+  inside `lax.scan`/beam loops; carries the previous alignment explicitly
+  (location-aware mode) instead of hiding it in module state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import AttentionConfig
+from e2e_asr_tpu.models import layers as L
+
+Params = Dict[str, object]
+NEG = -1.0e9
+
+
+def attention_init(
+    key, enc_dim: int, dec_dim: int, cfg: AttentionConfig
+) -> Tuple[Params, int]:
+    """Returns (params, context_dim). context_dim == enc_dim always (merge
+    projects back), so the decoder input width is independent of heads."""
+    ks = jax.random.split(key, 6)
+    h, d = cfg.num_head, cfg.dim
+    p: Params = {
+        "proj_q": L.dense_init(ks[0], dec_dim, h * d),
+        "proj_k": L.dense_init(ks[1], enc_dim, h * d, bias=False),
+    }
+    v_dim = d if cfg.v_proj else enc_dim
+    if cfg.v_proj:
+        p["proj_v"] = L.dense_init(ks[2], enc_dim, h * v_dim, bias=False)
+    if h > 1 or cfg.v_proj:
+        p["merge"] = L.dense_init(ks[3], h * v_dim, enc_dim)
+    if cfg.mode == "location":
+        p["loc_conv"] = L.conv1d_init(ks[4], cfg.loc_kernel_size * 2 + 1, h, cfg.loc_kernel_num)
+        p["loc_proj"] = L.dense_init(ks[5], cfg.loc_kernel_num, d, bias=False)
+        p["loc_v"] = L.uniform(jax.random.fold_in(key, 7), (h, d), 1.0 / math.sqrt(d))
+        p["loc_b"] = jnp.zeros((d,))
+    return p, enc_dim
+
+
+def prepare(params: Params, cfg: AttentionConfig, enc: jnp.ndarray, enc_len: jnp.ndarray) -> Dict:
+    """Cache per-utterance projections (ref: Attention.reset_mem)."""
+    b, s, e = enc.shape
+    h, d = cfg.num_head, cfg.dim
+    k = L.dense(params["proj_k"], enc).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    if "proj_v" in params:
+        v = L.dense(params["proj_v"], enc).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    else:
+        v = jnp.broadcast_to(enc[:, None], (b, h, s, e))
+    mask = jnp.arange(s)[None, :] < enc_len[:, None]  # [B, S]
+    return {"k": k, "v": v, "mask": mask, "enc_len": enc_len}
+
+
+def init_align(cfg: AttentionConfig, mem: Dict) -> jnp.ndarray:
+    """Uniform alignment over valid frames (ref: LocationAwareAttention
+    prev_att init)."""
+    mask = mem["mask"]
+    b, s = mask.shape
+    uni = mask.astype(jnp.float32) / jnp.maximum(mem["enc_len"], 1)[:, None]
+    return jnp.broadcast_to(uni[:, None], (b, cfg.num_head, s))
+
+
+def step(
+    params: Params,
+    cfg: AttentionConfig,
+    query: jnp.ndarray,
+    mem: Dict,
+    prev_att: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One attention step.
+
+    query: [B, dec_dim]; prev_att: [B, num_head, S].
+    Returns (align [B, num_head, S], context [B, enc_dim]).
+    """
+    b = query.shape[0]
+    h, d = cfg.num_head, cfg.dim
+    k, v, mask = mem["k"], mem["v"], mem["mask"]
+    s = k.shape[2]
+    q = L.dense(params["proj_q"], query).reshape(b, h, d)
+
+    if cfg.mode == "dot":
+        energy = jnp.einsum("bhd,bhsd->bhs", q, k) / math.sqrt(d)
+    elif cfg.mode == "location":
+        # location features from previous alignment (ref: 1-D conv over att)
+        f = L.conv1d(params["loc_conv"], prev_att.transpose(0, 2, 1))  # [B,S,kn]
+        f = L.dense(params["loc_proj"], f)  # [B, S, d]
+        e = jnp.tanh(q[:, :, None, :] + k + f[:, None] + params["loc_b"].astype(q.dtype))
+        energy = jnp.einsum("bhsd,hd->bhs", e, params["loc_v"].astype(q.dtype))
+    else:
+        raise ValueError(f"unknown attention mode {cfg.mode}")
+
+    energy = jnp.where(mask[:, None], energy, NEG)
+    align = jax.nn.softmax(energy / cfg.temperature, axis=-1)
+    align = jnp.where(mask[:, None], align, 0.0)
+    ctx = jnp.einsum("bhs,bhse->bhe", align, v).reshape(b, -1)
+    if "merge" in params:
+        ctx = jnp.tanh(L.dense(params["merge"], ctx))
+    return align, ctx

@@ -1,0 +1,61 @@
+"""Device mesh + sharding layout for SPMD data-parallel training.
+
+The reference is strictly single-device (SURVEY §2.2: no DDP, no
+torch.distributed anywhere); scale-out here is first-class and TPU-native:
+
+- a `Mesh(('data', 'model'))` over all devices (model axis reserved for
+  tensor-parallel projections; size 1 in the v1 recipes),
+- batches sharded over 'data' (leading axis), parameters replicated,
+- `jax.jit` with these shardings makes XLA insert the gradient all-reduce
+  over ICI within a slice and DCN across hosts — no hand-written
+  collectives in the training path,
+- multi-host: every process runs the same program; the input pipeline
+  feeds each process its shard (data/dataset.py process_index/count) and
+  `make_global_batch` assembles the global array from per-host shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp == -1:
+        dp = n // mp
+    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    dev_array = mesh_utils.create_device_mesh((dp, mp), devices=devices)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the data axis for every batch leaf."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    """Place a (host-global) batch with the data-parallel layout."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def pad_batch_to(batch: Dict[str, np.ndarray], b: int) -> Dict[str, np.ndarray]:
+    """Pad batch rows to a multiple usable by the mesh (masked rows)."""
+    cur = next(iter(batch.values())).shape[0]
+    if cur == b:
+        return batch
+    assert b > cur
+    return {
+        k: np.concatenate([v, np.zeros((b - cur,) + v.shape[1:], v.dtype)])
+        for k, v in batch.items()
+    }

@@ -1,0 +1,25 @@
+"""Small helpers (ref: src/util.py human_format / feat_to_fig)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def human_format(num: float) -> str:
+    magnitude = 0
+    while abs(num) >= 1000 and magnitude < 4:
+        magnitude += 1
+        num /= 1000.0
+    return f"{num:.3g}{['', 'K', 'M', 'G', 'T'][magnitude]}"
+
+
+def align_to_image(align: np.ndarray) -> np.ndarray:
+    """Attention alignment [L, S] -> uint8 heatmap [L, S, 3] for
+    TensorBoard (ref: src/util.py feat_to_fig, without matplotlib)."""
+    a = np.asarray(align, dtype=np.float32)
+    a = (a - a.min()) / (a.max() - a.min() + 1e-8)
+    # viridis-ish two-ramp colormap, dependency-free
+    r = np.clip(3.0 * a - 1.5, 0, 1)
+    g = np.clip(1.5 * a, 0, 1)
+    b = np.clip(1.0 - 2.0 * a, 0, 1) * 0.6 + 0.2
+    return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
