@@ -1,0 +1,147 @@
+"""ASR evaluation solver — batched beam-search decoding (ref: bin/test_asr.py).
+
+The reference forks joblib CPU workers to beam-decode one utterance each;
+here decoding is the batched jitted beam search (decode/beam.py) running on
+the accelerator over full buckets. Output parity: writes
+result/<name>/output.csv (best hyp vs truth per utterance) and beam.csv
+(every beam), same columns as the reference.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import Config
+from e2e_asr_tpu.data.dataset import load_dataset
+from e2e_asr_tpu.decode.beam import beam_search
+from e2e_asr_tpu.models import asr as asr_mod
+from e2e_asr_tpu.models import lm as lm_mod
+from e2e_asr_tpu.ops.frontend import compute_features
+from e2e_asr_tpu.solver import BaseSolver
+from e2e_asr_tpu.utils.metrics import cal_er
+from e2e_asr_tpu.utils.misc import human_format
+
+
+class Solver(BaseSolver):
+    def __init__(self, config: Config, paras, mode: str = "test"):
+        super().__init__(config, paras, mode)
+        # decode config may embed the training config path (ref: src section)
+        if config.src.config:
+            train_cfg = Config.load(config.src.config)
+            self.config.model = train_cfg.model
+            self.config.data.audio = train_cfg.data.audio
+            if not self.config.data.text.vocab_file:
+                self.config.data.text = train_cfg.data.text
+        assert config.src.ckpt or paras.load, "test mode needs src.ckpt or --load"
+
+    def load_data(self):
+        (_, self.dv_set, self.feat_dim, self.vocab_size, self.tokenizer, msg) = load_dataset(
+            self.config.data, num_workers=self.paras.njobs
+        )
+        self.verbose(msg)
+
+    def set_model(self):
+        cfg = self.config
+        key = jax.random.PRNGKey(0)
+        params, self.shapes = asr_mod.asr_init(key, self.feat_dim, self.vocab_size, cfg.model)
+        ckpt = cfg.src.ckpt or self.paras.load
+        restored = self.load_ckpt_payload(ckpt, {"params": params})
+        self.params = restored["params"]
+        self.verbose(f"Loaded ASR ckpt from {ckpt}")
+
+        self.lm_params, self.lm_cfg = None, None
+        if cfg.decode.lm_weight > 0:
+            assert cfg.decode.lm_path, "lm_weight > 0 requires decode.lm_path"
+            if cfg.decode.lm_config:
+                self.lm_cfg = Config.load(cfg.decode.lm_config).lm
+            else:
+                self.lm_cfg = cfg.lm
+            lm_p = lm_mod.lm_init(key, self.vocab_size, self.lm_cfg)
+            self.lm_params = self.load_ckpt_payload(cfg.decode.lm_path, {"params": lm_p})["params"]
+            self.verbose(f"Loaded RNNLM for shallow fusion (w={cfg.decode.lm_weight})")
+
+        dcfg = cfg.decode
+
+        def decode_fn(params, lm_params, wav, wav_len, max_step):
+            feat, feat_len = compute_features(wav, wav_len, cfg.data.audio)
+            return beam_search(
+                params, cfg.model, dcfg, feat, feat_len, max_step,
+                lm_params=lm_params, lm_cfg=self.lm_cfg,
+            )
+
+        self._decode = jax.jit(decode_fn, static_argnums=(4,))
+
+    def exec(self):
+        """ref: Solver.exec — decode dev/test set, write output/beam csv."""
+        cfg = self.config
+        ds = 1
+        from e2e_asr_tpu.models.encoder import total_downsample
+
+        ds = total_downsample(cfg.model.encoder)
+        rows_out, rows_beam = [], []
+        t0 = time.time()
+        audio_sec = 0.0
+        n_utt = 0
+        for batch in self.dv_set.epoch(0):
+            max_enc = batch.wav.shape[1] // (
+                int(cfg.data.audio.sample_rate * cfg.data.audio.frame_shift / 1000)
+            ) // ds + 1
+            max_step = max(4, int(cfg.decode.max_len_ratio * max_enc))
+            res = self._decode(
+                self.params,
+                self.lm_params,
+                jnp.asarray(batch.wav),
+                jnp.asarray(batch.wav_len),
+                max_step,
+            )
+            toks = np.asarray(res.tokens)
+            lens = np.asarray(res.lengths)
+            scores = np.asarray(res.scores)
+            text = np.asarray(batch.text)
+            for i, uid in enumerate(batch.uids):
+                if not uid:
+                    continue
+                truth = self.tokenizer.decode(text[i])
+                best = self.tokenizer.decode(toks[i, 0, : lens[i, 0]])
+                rows_out.append((uid, truth, best))
+                for wi in range(toks.shape[1]):
+                    hyp = self.tokenizer.decode(toks[i, wi, : lens[i, wi]])
+                    rows_beam.append((uid, truth, hyp, float(scores[i, wi])))
+                n_utt += 1
+                audio_sec += float(batch.wav_len[i]) / cfg.data.audio.sample_rate
+            self.progress(f"decoded {n_utt} utts")
+
+        os.makedirs(self.outdir, exist_ok=True)
+        with open(os.path.join(self.outdir, "output.csv"), "w", newline="") as f:
+            wtr = csv.writer(f, delimiter="\t")
+            wtr.writerow(["idx", "truth", "prediction"])
+            wtr.writerows(rows_out)
+        with open(os.path.join(self.outdir, "beam.csv"), "w", newline="") as f:
+            wtr = csv.writer(f, delimiter="\t")
+            wtr.writerow(["idx", "truth", "prediction", "score"])
+            wtr.writerows(rows_beam)
+
+        # corpus-level error rate of the 1-best
+        hyps = [r[2] for r in rows_out]
+        refs = [r[1] for r in rows_out]
+        mode = "cer" if self.tokenizer.token_type == "character" else "wer"
+        from e2e_asr_tpu.utils.metrics import edit_distance
+
+        err = tot = 0
+        for h, r in zip(hyps, refs):
+            hh, rr = (h.split(), r.split()) if mode == "wer" else (list(h), list(r))
+            err += edit_distance(hh, rr)
+            tot += max(len(rr), 1)
+        wall = time.time() - t0
+        self.verbose(
+            f"Decoded {n_utt} utts | {mode} {err / max(tot,1):.4f} | "
+            f"{audio_sec / wall:.1f} audio-s/s | results -> {self.outdir}"
+        )
+        return err / max(tot, 1)

@@ -1,0 +1,207 @@
+"""ASR training solver — the reference's bin/train_asr.py re-designed SPMD.
+
+exec() runs the step loop to hparas.max_step: fetch bucketed batch ->
+device_put with data-parallel sharding -> one jitted XLA program (features,
+SpecAugment, encoder, joint loss, grads, all-reduce, update) -> periodic
+validation (teacher-forced losses + greedy WER/CER for both heads, ref
+validate()) -> best_att / best_ctc / latest checkpoints.
+
+Differences from the reference, by design (TPU-first):
+- one compiled executable per (wav, text) bucket shape, not dynamic pads;
+- teacher-forcing schedule, NaN-skip, grad clip live *inside* the jitted
+  step; the solver only orchestrates;
+- throughput is tracked as audio-seconds/s/chip (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_asr_tpu.config import Config
+from e2e_asr_tpu.data.dataset import load_dataset
+from e2e_asr_tpu.decode.greedy import ctc_greedy_decode, greedy_decode
+from e2e_asr_tpu.models import asr as asr_mod
+from e2e_asr_tpu.optim import build_optimizer
+from e2e_asr_tpu.ops.frontend import compute_features
+from e2e_asr_tpu.parallel import mesh as mesh_mod
+from e2e_asr_tpu.solver import BaseSolver
+from e2e_asr_tpu.training.step import TrainState, make_eval_step, make_train_step
+from e2e_asr_tpu.utils.metrics import cal_er
+from e2e_asr_tpu.utils.misc import align_to_image, human_format
+
+DEV_STEP_RATIO = 1.2  # ref: bin/train_asr.py decode-steps ratio at validation
+
+
+class Solver(BaseSolver):
+    def __init__(self, config: Config, paras, mode: str = "train"):
+        super().__init__(config, paras, mode)
+        self.best_wer = {"att": 3.0, "ctc": 3.0}  # ref init values
+        self.max_step = config.hparas.max_step
+        self.valid_step = config.hparas.valid_step
+
+    # ------------------------------------------------------------------ data
+    def load_data(self):
+        """ref: Solver.load_data -> src.data.load_dataset."""
+        (self.tr_set, self.dv_set, self.feat_dim, self.vocab_size, self.tokenizer, msg) = load_dataset(
+            self.config.data,
+            ascending=self.config.hparas.curriculum > 0,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            num_workers=self.paras.njobs,
+        )
+        self.verbose(msg)
+
+    # ----------------------------------------------------------------- model
+    def set_model(self):
+        """ref: Solver.set_model — build model/losses/optimizer (+resume)."""
+        cfg = self.config
+        self.mesh = mesh_mod.make_mesh(cfg.parallel.dp, cfg.parallel.mp)
+        self.dp = self.mesh.shape["data"]
+        key = jax.random.PRNGKey(cfg.hparas.seed)
+        params, self.shapes = asr_mod.asr_init(key, self.feat_dim, self.vocab_size, cfg.model)
+        self.tx = build_optimizer(cfg.hparas)
+        state = TrainState(params, self.tx.init(params), jnp.asarray(0, jnp.int32))
+        if self.paras.load:
+            state = self.load_ckpt_payload(
+                self.paras.load,
+                {"params": state.params, "opt_state": state.opt_state, "step": state.step},
+            )
+            state = TrainState(state["params"], state["opt_state"], jnp.asarray(state["step"]))
+            self.verbose(f"Resumed from {self.paras.load} @ step {int(state.step)}")
+        self.state = jax.device_put(state, mesh_mod.replicated(self.mesh))
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        self.verbose(
+            f"ASR model: enc_dim={self.shapes.enc_dim}, vocab={self.vocab_size}, "
+            f"#params={human_format(n_params)}, mesh=data:{self.dp}"
+        )
+        self.train_step = jax.jit(make_train_step(cfg, self.tx), donate_argnums=(0,))
+        self.eval_step = jax.jit(make_eval_step(cfg))
+        self._greedy = jax.jit(
+            lambda p, f, fl, ms: greedy_decode(p, cfg.model, f, fl, ms),
+            static_argnums=(3,),
+        )
+        self._features = jax.jit(lambda w, wl: compute_features(w, wl, cfg.data.audio))
+
+    # ------------------------------------------------------------------ loop
+    def _put(self, batch) -> Dict[str, jax.Array]:
+        d = {
+            "wav": batch.wav,
+            "wav_len": batch.wav_len,
+            "text": batch.text,
+            "text_len": batch.text_len,
+        }
+        b = batch.wav.shape[0]
+        if b % self.dp:
+            d = mesh_mod.pad_batch_to(d, ((b + self.dp - 1) // self.dp) * self.dp)
+        return mesh_mod.shard_batch(self.mesh, d)
+
+    def exec(self):
+        """ref: Solver.exec — the training loop."""
+        self.verbose(f"Total training steps {human_format(self.max_step)}.")
+        cfg = self.config
+        curriculum_epochs = 1 if cfg.hparas.curriculum > 0 else 0
+        data_iter = self.tr_set.forever(curriculum_epochs=curriculum_epochs)
+        t_wall = time.time()
+        audio_sec_acc = 0.0
+        self.timer.set()
+        while self.step < self.max_step:
+            batch = next(data_iter)
+            dbatch = self._put(batch)
+            self.timer.cnt("rd")
+            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.hparas.seed + 1), self.step)
+            self.state, metrics = self.train_step(self.state, dbatch, rng)
+            self.timer.cnt("fw")
+            audio_sec_acc += float(batch.wav_len.sum()) / cfg.data.audio.sample_rate
+            self.step += 1
+
+            if self.step % cfg.hparas.log_step == 0:
+                m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+                dt = time.time() - t_wall
+                thr = audio_sec_acc / max(dt, 1e-6) / jax.device_count()
+                self.progress(
+                    f"loss {m['loss']:.3f} | att {m.get('att_loss', 0):.3f} | "
+                    f"ctc {m.get('ctc_loss', 0):.3f} | gnorm {m['grad_norm']:.2f} | "
+                    f"tf {m['tf_rate']:.2f} | {thr:.1f} audio-s/s/chip | {self.timer.show()}"
+                )
+                self.write_log("loss", {"tr_att": m.get("att_loss", 0), "tr_ctc": m.get("ctc_loss", 0)})
+                self.write_log("grad_norm", m["grad_norm"])
+                self.write_log("tf_rate", m["tf_rate"])
+                self.write_log("throughput_audio_sec_per_sec_chip", thr)
+                t_wall, audio_sec_acc = time.time(), 0.0
+
+            if self.step % self.valid_step == 0:
+                self.validate()
+                t_wall, audio_sec_acc = time.time(), 0.0
+        self.verbose("Training completed.")
+        self.save_checkpoint("latest", "step", float(self.step), self.state)
+        if self.log is not None:
+            self.log.close()
+
+    # ------------------------------------------------------------ validation
+    def validate(self):
+        """ref: Solver.validate — dev losses + greedy WER/CER, best ckpts."""
+        cfg = self.config
+        metrics_acc: Dict[str, list] = {}
+        er_att, er_ctc, n_batches = [], [], 0
+        sample_logged = False
+        for batch in self.dv_set.epoch(0):
+            dbatch = self._put(batch)
+            m = self.eval_step(self.state.params, dbatch)
+            for k in ("loss", "att_loss", "ctc_loss"):
+                if k in m:
+                    metrics_acc.setdefault(k, []).append(float(m[k]))
+            text = np.asarray(batch.text)
+            text_len = np.asarray(batch.text_len)
+            valid = text_len > 0
+            if "att_preds" in m:
+                feat, feat_len = self._features(dbatch["wav"], dbatch["wav_len"])
+                max_step = int(text.shape[1] * DEV_STEP_RATIO)
+                toks, aligns = self._greedy(self.state.params, feat, feat_len, max_step)
+                toks = np.asarray(toks)[: len(text)]
+                er_att.append(
+                    cal_er(self.tokenizer, toks[valid], text[valid], mode=self._er_mode())
+                )
+                if not sample_logged:
+                    i = int(np.argmax(valid))
+                    self.write_log("att_align", align_to_image(np.asarray(aligns)[i, :, 0, :]))
+                    self.write_log(
+                        "dev_sample",
+                        f"hyp: {self.tokenizer.decode(toks[i])}\n\nref: {self.tokenizer.decode(text[i])}",
+                    )
+                    sample_logged = True
+            if "ctc_preds" in m:
+                ctc_ids = np.asarray(m["ctc_preds"])[: len(text)]
+                enc_len = np.asarray(m["enc_len"])[: len(text)]
+                er_ctc.append(
+                    cal_er(
+                        self.tokenizer,
+                        ctc_ids[valid],
+                        text[valid],
+                        mode=self._er_mode(),
+                        ctc=True,
+                        pred_len=enc_len[valid],
+                    )
+                )
+            n_batches += 1
+        summary = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
+        if er_att:
+            summary["dev_er_att"] = float(np.mean(er_att))
+        if er_ctc:
+            summary["dev_er_ctc"] = float(np.mean(er_ctc))
+        self.progress("DEV " + " | ".join(f"{k} {v:.3f}" for k, v in summary.items()))
+        self.write_log("dev_loss", {k: v for k, v in summary.items() if "loss" in k})
+        for head, key in (("att", "dev_er_att"), ("ctc", "dev_er_ctc")):
+            if key in summary:
+                self.write_log("er", {key: summary[key]})
+                if summary[key] < self.best_wer[head]:
+                    self.best_wer[head] = summary[key]
+                    self.save_checkpoint(f"best_{head}", key, summary[key], self.state)
+        self.save_checkpoint("latest", "step", float(self.step), self.state)
+
+    def _er_mode(self) -> str:
+        return "cer" if self.tokenizer.token_type == "character" else "wer"

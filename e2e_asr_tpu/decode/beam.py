@@ -1,0 +1,254 @@
+"""Batched, jit-compiled hybrid CTC/attention/LM beam search.
+
+The reference's BeamDecoder (src/decode.py) is a sequential Python loop:
+batch size asserted to 1, per-hypothesis decoder steps, list surgery for
+pruning, numpy CTC rescoring, joblib fork parallelism (bin/test_asr.py).
+This is its TPU-native replacement and the biggest idiomatic departure
+(SURVEY §7.0): ONE `lax.scan` advances all (batch x beam) hypotheses —
+every step is a batched decoder/attention/LM evaluation plus fixed-shape
+top-k pruning; hypothesis finishing uses masked score routing instead of
+list moves. Everything compiles once per bucket shape and runs entirely
+on device.
+
+Score semantics (reference parity, src/decode.py + src/ctc.py):
+- per-step candidate score: att_log_prob + lm_weight * lm_log_prob
+- with ctc_weight: top (beam * ctc_beam_ratio) candidates are CTC
+  prefix-rescored; running total = (1-w)*(att+lm) + w*psi_ctc (kept
+  additive via per-step psi deltas)
+- <eos> only allowed inside the [min_len_ratio, max_len_ratio] * enc_len
+  window; finished hypotheses ranked by length-normalized avgScore.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2e_asr_tpu.config import DecodeConfig, LMConfig, ModelConfig
+from e2e_asr_tpu.data.text import EOS_ID
+from e2e_asr_tpu.models import asr as asr_mod
+from e2e_asr_tpu.models import attention as att_mod
+from e2e_asr_tpu.models import decoder as dec_mod
+from e2e_asr_tpu.models import lm as lm_mod
+from e2e_asr_tpu.decode import ctc_prefix
+
+NEG = -1.0e30
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray  # [B, W, L] (eos-terminated, 0-padded)
+    lengths: jnp.ndarray  # [B, W] (incl. eos)
+    scores: jnp.ndarray  # [B, W] length-normalized, sorted desc
+
+
+class _Carry(NamedTuple):
+    tokens: jnp.ndarray  # [B, W, L]
+    scores: jnp.ndarray  # [B, W] running mixed totals
+    dec_state: Tuple[jnp.ndarray, jnp.ndarray]  # [layers, B*W, H]
+    prev_att: jnp.ndarray  # [B*W, Hh, S]
+    prev_tok: jnp.ndarray  # [B, W]
+    lm_state: Tuple[jnp.ndarray, jnp.ndarray]
+    r_g: jnp.ndarray  # [B, W, T, 2]
+    psi_g: jnp.ndarray  # [B, W]
+    fin_tokens: jnp.ndarray  # [B, W, L]
+    fin_scores: jnp.ndarray  # [B, W] avg (length-normalized)
+    fin_len: jnp.ndarray  # [B, W]
+
+
+def _tile_mem(mem: dict, w: int) -> dict:
+    """Broadcast per-utterance attention memory across beams -> [B*W, ...]."""
+    out = {}
+    for k, v in mem.items():
+        if hasattr(v, "shape") and v.ndim >= 1:
+            tiled = jnp.broadcast_to(v[:, None], (v.shape[0], w) + v.shape[1:])
+            out[k] = tiled.reshape((v.shape[0] * w,) + v.shape[1:])
+        else:
+            out[k] = v
+    return out
+
+
+def _gather_beams(x: jnp.ndarray, idx: jnp.ndarray, b: int, w: int) -> jnp.ndarray:
+    """x: [B, W, ...], idx: [B, W'] beam indices -> [B, W', ...]."""
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+
+
+def beam_search(
+    params,
+    cfg: ModelConfig,
+    dcfg: DecodeConfig,
+    feat: jnp.ndarray,
+    feat_len: jnp.ndarray,
+    max_step: int,
+    lm_params=None,
+    lm_cfg: Optional[LMConfig] = None,
+) -> BeamResult:
+    w = dcfg.beam_size
+    use_lm = dcfg.lm_weight > 0 and lm_params is not None
+    use_ctc = dcfg.ctc_weight > 0 and "ctc" in params
+
+    enc, enc_len = asr_mod.encode(params, cfg, feat, feat_len)
+    b, s, _ = enc.shape
+    mem = att_mod.prepare(params["attention"], cfg.attention, enc, enc_len)
+    mem_bw = _tile_mem(mem, w)
+    vocab = params["decoder"]["char"]["w"].shape[1]
+
+    ctc_lp = asr_mod.ctc_log_probs(params, enc).astype(jnp.float32) if use_ctc else None
+    k_cand = min(vocab, max(w, int(w * dcfg.ctc_beam_ratio))) if use_ctc else vocab
+
+    min_len = (dcfg.min_len_ratio * enc_len).astype(jnp.int32)  # [B]
+    max_len = jnp.minimum((dcfg.max_len_ratio * enc_len).astype(jnp.int32), max_step)
+
+    carry = _Carry(
+        tokens=jnp.zeros((b, w, max_step), jnp.int32),
+        scores=jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG) * jnp.ones((b, 1)),
+        dec_state=dec_mod.init_state(b * w, cfg.decoder, enc.dtype),
+        prev_att=att_mod.init_align(cfg.attention, mem_bw).astype(enc.dtype),
+        prev_tok=jnp.zeros((b, w), jnp.int32),
+        lm_state=(
+            lm_mod.init_state(b * w, lm_cfg, enc.dtype) if use_lm else (jnp.zeros(()), jnp.zeros(()))
+        ),
+        r_g=(
+            ctc_prefix.init_empty_prefix(ctc_lp, enc_len, w)
+            if use_ctc
+            else jnp.zeros((b, w, 1, 2))
+        ),
+        psi_g=jnp.zeros((b, w)),
+        fin_tokens=jnp.zeros((b, w, max_step), jnp.int32),
+        fin_scores=jnp.full((b, w), NEG),
+        fin_len=jnp.ones((b, w), jnp.int32),
+    )
+
+    def step(carry: _Carry, t):
+        # ---- one decoder/attention step for all B*W hypotheses
+        att_carry = asr_mod.DecodeCarry(
+            dec_state=carry.dec_state,
+            prev_att=carry.prev_att,
+            prev_tok=carry.prev_tok.reshape(-1),
+        )
+        logits, align, new_att_carry = asr_mod.attend_and_step(
+            params, cfg, mem_bw, att_carry, carry.prev_tok.reshape(-1)
+        )
+        step_lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(b, w, vocab)
+
+        if use_lm:
+            lm_lp, new_lm_state = lm_mod.step(
+                lm_params, lm_cfg, carry.prev_tok.reshape(-1), carry.lm_state
+            )
+            step_lp = step_lp + dcfg.lm_weight * lm_lp.astype(jnp.float32).reshape(b, w, vocab)
+        else:
+            new_lm_state = carry.lm_state
+
+        # ---- candidate set + mixed scores
+        if use_ctc:
+            attlm_k, cand = jax.lax.top_k(step_lp, k_cand)  # [B, W, K]
+            psi_h, r_h = ctc_prefix.prefix_scores(
+                ctc_lp, enc_len, carry.r_g, carry.prev_tok, cand, prefix_is_empty=(t == 0)
+            )
+            psi_eos = ctc_prefix.eos_score(carry.r_g, enc_len)  # [B, W]
+            is_eos = cand == EOS_ID
+            ctc_term = jnp.where(is_eos, psi_eos[:, :, None], psi_h)
+            step_score = (1.0 - dcfg.ctc_weight) * attlm_k + dcfg.ctc_weight * (
+                ctc_term - carry.psi_g[:, :, None]
+            )
+        else:
+            cand = jnp.broadcast_to(jnp.arange(vocab)[None, None], (b, w, vocab))
+            attlm_k = step_lp
+            step_score = attlm_k
+            is_eos = cand == EOS_ID
+            psi_h = jnp.zeros((b, w, k_cand))
+            r_h = None
+
+        total = carry.scores[:, :, None] + step_score  # [B, W, K]
+        new_len = t + 1
+
+        # ---- route eos candidates to the finished set (length-normalized)
+        in_window = (new_len >= min_len) & (new_len <= max_len)  # [B]
+        eos_avg = jnp.where(
+            is_eos & in_window[:, None, None], total / new_len, NEG
+        ).reshape(b, w * k_cand)
+        # candidate finished tokens = parent's tokens + eos at position t
+        all_fin_scores = jnp.concatenate([carry.fin_scores, eos_avg], axis=1)
+        top_fin, fin_idx = jax.lax.top_k(all_fin_scores, w)
+        from_old = fin_idx < w
+        old_idx = jnp.clip(fin_idx, 0, w - 1)
+        par_idx = jnp.clip((fin_idx - w) // k_cand, 0, w - 1)
+        old_toks = _gather_beams(carry.fin_tokens, old_idx, b, w)
+        par_toks = _gather_beams(carry.tokens, par_idx, b, w)
+        par_toks = jax.vmap(
+            lambda tk: jax.lax.dynamic_update_slice_in_dim(
+                tk, jnp.full((tk.shape[0], 1), EOS_ID, jnp.int32), t, axis=1
+            ),
+        )(par_toks)
+        new_fin_tokens = jnp.where(from_old[:, :, None], old_toks, par_toks)
+        old_len = _gather_beams(carry.fin_len, old_idx, b, w)
+        new_fin_len = jnp.where(from_old, old_len, new_len)
+
+        # ---- live expansion: non-eos candidates, prune to W
+        live_total = jnp.where(is_eos, NEG, total).reshape(b, w * k_cand)
+        top_live, live_idx = jax.lax.top_k(live_total, w)
+        parent = live_idx // k_cand  # [B, W]
+        tok = jnp.take_along_axis(
+            cand.reshape(b, w * k_cand), live_idx, axis=1
+        ).astype(jnp.int32)
+
+        new_tokens = _gather_beams(carry.tokens, parent, b, w)
+        new_tokens = jax.vmap(
+            lambda tk, tt: jax.lax.dynamic_update_slice_in_dim(
+                tk, tt[:, None], t, axis=1
+            )
+        )(new_tokens, tok)
+
+        # gather per-beam states (flattened B*W layout)
+        flat_parent = (parent + jnp.arange(b)[:, None] * w).reshape(-1)
+        h, c = new_att_carry.dec_state
+        new_dec = (h[:, flat_parent], c[:, flat_parent])
+        new_prev_att = new_att_carry.prev_att[flat_parent]
+        if use_lm:
+            lh, lc = new_lm_state
+            new_lm = (lh[:, flat_parent], lc[:, flat_parent])
+        else:
+            new_lm = new_lm_state
+        if use_ctc:
+            kk = live_idx % k_cand
+            new_r_g = jax.vmap(lambda rb, pb, kb: rb[pb, kb])(r_h, parent, kk)
+            new_psi = jnp.take_along_axis(
+                jnp.where(is_eos, NEG, psi_h).reshape(b, w * k_cand), live_idx, axis=1
+            )
+        else:
+            new_r_g, new_psi = carry.r_g, carry.psi_g
+
+        return (
+            _Carry(
+                tokens=new_tokens,
+                scores=top_live,
+                dec_state=new_dec,
+                prev_att=new_prev_att,
+                prev_tok=tok,
+                lm_state=new_lm,
+                r_g=new_r_g,
+                psi_g=new_psi,
+                fin_tokens=new_fin_tokens,
+                fin_scores=top_fin,
+                fin_len=new_fin_len,
+            ),
+            None,
+        )
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_step))
+
+    # ---- final ranking: finished beams + (length-normalized) live leftovers
+    live_avg = carry.scores / max_step
+    all_scores = jnp.concatenate([carry.fin_scores, live_avg], axis=1)  # [B, 2W]
+    all_tokens = jnp.concatenate([carry.fin_tokens, carry.tokens], axis=1)
+    all_len = jnp.concatenate(
+        [carry.fin_len, jnp.full((b, w), max_step, jnp.int32)], axis=1
+    )
+    top, idx = jax.lax.top_k(all_scores, w)
+    tokens = _gather_beams(all_tokens, idx, b, w)
+    lengths = jnp.take_along_axis(all_len, idx, axis=1)
+    # zero out positions past each hypothesis length
+    pos = jnp.arange(max_step)[None, None, :]
+    tokens = jnp.where(pos < lengths[:, :, None], tokens, 0)
+    return BeamResult(tokens=tokens, lengths=lengths, scores=top)

@@ -1,0 +1,117 @@
+"""Vectorized CTC prefix scoring for beam search, fully inside jit.
+
+The reference's src/ctc.py CTCPrefixScore is a per-hypothesis numpy
+recursion (cheap_compute/full_compute) called sequentially from a Python
+beam loop. TPU-native re-derivation: one `lax.scan` over encoder time
+advances the Watanabe/Graves prefix forward variables for *all* (batch,
+beam, candidate) triples at once — a [B, W, K] lattice per time step, pure
+VPU work.
+
+Forward variables r^n / r^b (prob of emitting prefix h with last frame
+non-blank / blank), in log space:
+
+    phi_g(t)   = r^b(g,t) (+ r^n(g,t) unless cand == last(g))
+    r^n(h,t)   = (r^n(h,t-1) + phi_g(t-1)) * p_t(c)
+    r^b(h,t)   = (r^b(h,t-1) + r^n(h,t-1)) * p_t(blank)
+    psi(h)     = sum_t phi_g(t-1) * p_t(c)        (prefix probability)
+    psi(g+eos) = r^n(g,T) + r^b(g,T)              (full-sequence prob)
+
+All per-utterance lengths are handled by freezing the recursion at
+t >= enc_len.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1.0e30
+
+
+def _lse(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG)
+    out = m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+    return jnp.where(m > NEG / 2, out, NEG)
+
+
+def init_empty_prefix(ctc_lp: jnp.ndarray, enc_len: jnp.ndarray, beam: int) -> jnp.ndarray:
+    """Forward variables of the empty prefix: r^b(t) = prod of blanks,
+    r^n = -inf. Returns [B, W, T, 2] (replicated over beams)."""
+    b, t, _ = ctc_lp.shape
+    lp_blank = ctc_lp[:, :, 0]
+    valid = jnp.arange(t)[None, :] < enc_len[:, None]
+    r_b = jnp.cumsum(jnp.where(valid, lp_blank, 0.0), axis=1)
+    r_b = jnp.where(valid, r_b, jnp.take_along_axis(r_b, jnp.maximum(enc_len - 1, 0)[:, None], 1))
+    r_n = jnp.full_like(r_b, NEG)
+    r = jnp.stack([r_n, r_b], axis=-1)  # [B, T, 2]
+    return jnp.broadcast_to(r[:, None], (b, beam, t, 2))
+
+
+def eos_score(r_g: jnp.ndarray, enc_len: jnp.ndarray) -> jnp.ndarray:
+    """psi(g+eos) = full-prefix probability at the last valid frame.
+    r_g: [B, W, T, 2] -> [B, W]."""
+    idx = jnp.maximum(enc_len - 1, 0)[:, None, None, None]
+    r_end = jnp.take_along_axis(r_g, jnp.broadcast_to(idx, r_g.shape[:2] + (1, 2)), axis=2)
+    return _lse(r_end[:, :, 0, 0], r_end[:, :, 0, 1])
+
+
+def prefix_scores(
+    ctc_lp: jnp.ndarray,
+    enc_len: jnp.ndarray,
+    r_g: jnp.ndarray,
+    last_tok: jnp.ndarray,
+    cand: jnp.ndarray,
+    prefix_is_empty,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score K candidate extensions for every live hypothesis.
+
+    ctc_lp: [B, T, V] CTC log-softmax; enc_len: [B]; r_g: [B, W, T, 2]
+    forward vars of current prefixes; last_tok: [B, W] last emitted token
+    (ignored when prefix_is_empty); cand: [B, W, K] candidate ids;
+    prefix_is_empty: bool or traced bool scalar — phi(-1) = 1 for the empty
+    prefix (a new char may start at frame 0), else 0.
+
+    Returns (psi [B, W, K], r_h [B, W, K, T, 2]).
+    """
+    b, w, k = cand.shape
+    t_len = ctc_lp.shape[1]
+    lp_blank = ctc_lp[:, :, 0]  # [B, T]
+    # candidate emissions per time: [B, T, W, K]
+    lp_c = jnp.take_along_axis(
+        ctc_lp[:, :, None, :], jnp.broadcast_to(cand[:, None], (b, t_len, w, k)), axis=3
+    )
+    lp_c = jnp.moveaxis(lp_c, 1, 0)  # [T, B, W, K]
+
+    match = cand == last_tok[:, :, None]  # [B, W, K]
+    r_g_t = jnp.moveaxis(r_g, 2, 0)  # [T, B, W, 2]
+    valid = (jnp.arange(t_len)[:, None] < enc_len[None, :]).astype(ctc_lp.dtype)  # [T, B]
+
+    neg = jnp.full((b, w, k), NEG, ctc_lp.dtype)
+    phi_init = jnp.where(jnp.asarray(prefix_is_empty), jnp.zeros((b, w, k), ctc_lp.dtype), neg)
+
+    def step(carry, inp):
+        r_n_p, r_b_p, psi, phi_p = carry
+        lp_c_t, r_g_now, lp_b_t, v = inp
+        v3 = v[:, None, None]
+        r_n_t = _lse(r_n_p, phi_p) + lp_c_t
+        r_b_t = _lse(r_b_p, r_n_p) + lp_b_t[:, None, None]
+        psi_t = _lse(psi, phi_p + lp_c_t)
+        # freeze past enc_len
+        r_n_new = jnp.where(v3 > 0, r_n_t, r_n_p)
+        r_b_new = jnp.where(v3 > 0, r_b_t, r_b_p)
+        psi_new = jnp.where(v3 > 0, psi_t, psi)
+        # phi for the *next* step comes from the g-variables at this t
+        r_b_g = jnp.broadcast_to(r_g_now[..., 1:2], (b, w, k))
+        r_n_g = jnp.broadcast_to(r_g_now[..., 0:1], (b, w, k))
+        phi_t = _lse(r_b_g, jnp.where(match, NEG, r_n_g))
+        phi_new = jnp.where(v3 > 0, phi_t, phi_p)
+        return (r_n_new, r_b_new, psi_new, phi_new), (r_n_new, r_b_new)
+
+    (_, _, psi, _), (r_n_seq, r_b_seq) = jax.lax.scan(
+        step, (neg, neg, neg, phi_init), (lp_c, r_g_t, jnp.moveaxis(lp_blank, 1, 0), valid)
+    )
+    r_h = jnp.stack([r_n_seq, r_b_seq], axis=-1)  # [T, B, W, K, 2]
+    return psi, jnp.moveaxis(r_h, 0, 3)

@@ -1,0 +1,122 @@
+"""Base solver: experiment dirs, logging, checkpointing, progress.
+
+Parity with the reference's src/solver.py BaseSolver (verbose/progress/
+write_log/save_checkpoint/load_ckpt, TensorBoard SummaryWriter, exp dirs
+log/<name> ckpt/<name>) with TPU-native replacements:
+
+- checkpoints are orbax PyTree saves of {params, opt_state, step} —
+  sharding-aware and async-capable — instead of torch.save dicts; the
+  best-metric policy (best_att.pth / best_ctc.pth / latest.pth) is kept.
+- scalars/text/images go to tensorboardX with the same tag names the
+  reference logs, so curves are directly comparable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from e2e_asr_tpu.config import Config
+from e2e_asr_tpu.utils.timer import Timer
+
+GRAD_CLIP = 5.0  # ref: src/solver.py
+
+
+class BaseSolver:
+    def __init__(self, config: Config, paras, mode: str):
+        self.config = config
+        self.paras = paras
+        self.mode = mode
+        self.exp_name = paras.name
+        if self.exp_name is None:
+            self.exp_name = os.path.basename(paras.config).replace(".yaml", "") if paras.config else "exp"
+            self.exp_name += f"_sd{paras.seed}"
+
+        self.logdir = os.path.join(paras.logdir, self.exp_name)
+        self.ckpdir = os.path.join(paras.ckpdir, self.exp_name)
+        self.outdir = os.path.join(paras.outdir, self.exp_name)
+        self.timer = Timer()
+        self.step = 0
+
+        if mode == "train":
+            os.makedirs(self.ckpdir, exist_ok=True)
+            os.makedirs(self.logdir, exist_ok=True)
+            from tensorboardX import SummaryWriter
+
+            self.log = SummaryWriter(self.logdir, flush_secs=60)
+        else:
+            os.makedirs(self.outdir, exist_ok=True)
+            self.log = None
+
+    # ------------------------------------------------------------- messaging
+    def verbose(self, msg):
+        """ref: BaseSolver.verbose."""
+        if self.paras.verbose:
+            if isinstance(msg, list):
+                for m in msg:
+                    self.verbose(m)
+            else:
+                print("[INFO]", msg, flush=True)
+
+    def progress(self, msg: str):
+        if self.paras.verbose:
+            sys.stdout.write("\033[K")
+            print(f"[{self.step}] {msg}", flush=True)
+
+    def write_log(self, log_name: str, log_dict):
+        """Scalars/text/images to TensorBoard (ref: BaseSolver.write_log)."""
+        if self.log is None:
+            return
+        if isinstance(log_dict, dict) and log_dict and all(
+            isinstance(v, (int, float, np.floating)) for v in log_dict.values()
+        ):
+            self.log.add_scalars(log_name, log_dict, self.step)
+        elif isinstance(log_dict, (int, float, np.floating)):
+            self.log.add_scalar(log_name, log_dict, self.step)
+        elif isinstance(log_dict, str):
+            self.log.add_text(log_name, log_dict, self.step)
+        elif isinstance(log_dict, np.ndarray) and log_dict.ndim == 3:
+            self.log.add_image(log_name, log_dict, self.step, dataformats="HWC")
+
+    # ----------------------------------------------------------- checkpoints
+    def save_checkpoint(self, fname: str, metric: str, score: float, state) -> None:
+        """orbax save of the full train state + metadata.
+
+        ref: BaseSolver.save_checkpoint(torch.save({'model','optimizer',
+        'global_step', metric: score})).
+        """
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.ckpdir, fname))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        with open(path + ".meta", "w") as f:
+            f.write(f"{metric} {score}\nglobal_step {int(state.step)}\n")
+        self.verbose(
+            f"Saved checkpoint (step = {int(state.step)}, {metric} = {score:.2f}) -> {fname}"
+        )
+
+    def load_ckpt_payload(self, path: str, template) -> Any:
+        """Restore a checkpoint into the structure of `template`.
+
+        `template` may be a subset of the saved tree (e.g. params only for
+        inference — ref: bin/test_asr.py loads model weights without the
+        optimizer); missing saved entries are skipped.
+        """
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
+            )

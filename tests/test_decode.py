@@ -1,0 +1,178 @@
+"""Beam search & CTC prefix scorer tests (SURVEY.md §4: beam=1 ≡ greedy;
+prefix scorer vs brute-force path enumeration on a toy vocab)."""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from e2e_asr_tpu.config import Config, DecodeConfig
+from e2e_asr_tpu.decode import ctc_prefix
+from e2e_asr_tpu.decode.beam import beam_search
+from e2e_asr_tpu.decode.greedy import greedy_decode
+from e2e_asr_tpu.models import asr as asr_mod
+
+
+# ---------------------------------------------------------------- prefix DP
+def brute_force_prefix(probs: np.ndarray, prefix, full: bool = False) -> float:
+    """P(collapsed path starts with `prefix`) by enumerating all V^T paths.
+    full=True: P(collapsed path == prefix)."""
+    t, v = probs.shape
+    total = 0.0
+    for path in itertools.product(range(v), repeat=t):
+        p = 1.0
+        for ti, s in enumerate(path):
+            p *= probs[ti, s]
+        col = []
+        prev = -1
+        for s in path:
+            if s != prev and s != 0:
+                col.append(s)
+            prev = s
+        ok = col == list(prefix) if full else col[: len(prefix)] == list(prefix)
+        if ok:
+            total += p
+    return total
+
+
+def test_prefix_scores_vs_bruteforce():
+    rng = np.random.RandomState(0)
+    t, v = 5, 4
+    logits = rng.randn(1, t, v).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    probs = np.exp(lp[0])
+    enc_len = jnp.asarray([t])
+
+    # empty prefix, candidates = each non-blank token
+    r_g = ctc_prefix.init_empty_prefix(jnp.asarray(lp), enc_len, beam=1)
+    cand = jnp.asarray([[[1, 2, 3]]])  # [B=1, W=1, K=3]
+    psi, r_h = ctc_prefix.prefix_scores(
+        jnp.asarray(lp), enc_len, r_g, jnp.asarray([[0]]), cand, prefix_is_empty=True
+    )
+    for ki, c in enumerate([1, 2, 3]):
+        gold = brute_force_prefix(probs, [c])
+        np.testing.assert_allclose(float(jnp.exp(psi[0, 0, ki])), gold, rtol=1e-4)
+
+    # extend prefix [1] by candidates {1, 2}: psi([1,c])
+    r_g1 = r_h[:, :, 0]  # forward vars of prefix [1]
+    cand2 = jnp.asarray([[[1, 2]]])
+    psi2, r_h2 = ctc_prefix.prefix_scores(
+        jnp.asarray(lp), enc_len, r_g1, jnp.asarray([[1]]), cand2, prefix_is_empty=False
+    )
+    np.testing.assert_allclose(
+        float(jnp.exp(psi2[0, 0, 0])), brute_force_prefix(probs, [1, 1]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(jnp.exp(psi2[0, 0, 1])), brute_force_prefix(probs, [1, 2]), rtol=1e-4
+    )
+
+    # eos score of prefix [1] == P(collapsed == [1])
+    eos = ctc_prefix.eos_score(r_g1, enc_len)
+    np.testing.assert_allclose(
+        float(jnp.exp(eos[0, 0])), brute_force_prefix(probs, [1], full=True), rtol=1e-4
+    )
+
+
+def test_prefix_scores_length_masked():
+    """Frames past enc_len must not contribute."""
+    rng = np.random.RandomState(1)
+    t = 4
+    logits = rng.randn(1, t, 3).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    lp_padded = jnp.pad(lp, ((0, 0), (0, 3), (0, 0)))
+    cand = jnp.asarray([[[1, 2]]])
+    for lpx in (lp, lp_padded):
+        r_g = ctc_prefix.init_empty_prefix(lpx, jnp.asarray([t]), 1)
+        psi, _ = ctc_prefix.prefix_scores(
+            lpx, jnp.asarray([t]), r_g, jnp.asarray([[0]]), cand, True
+        )
+        if lpx is lp:
+            ref = np.asarray(psi)
+        else:
+            np.testing.assert_allclose(np.asarray(psi), ref, rtol=1e-5)
+
+
+# ----------------------------------------------------------------- beam ≡ greedy
+def _toy_model(ctc_weight=0.5, seed=0, vocab=12):
+    cfg = Config.from_dict(
+        {
+            "data": {"audio": {"feat_dim": 20, "use_pallas": False}},
+            "model": {
+                "ctc_weight": ctc_weight,
+                "encoder": {
+                    "prenet": "",
+                    "dim": [32],
+                    "dropout": [0.0],
+                    "layer_norm": [False],
+                    "proj": [True],
+                    "sample_rate": [2],
+                    "sample_style": "drop",
+                },
+                "attention": {"mode": "dot", "dim": 24, "num_head": 1},
+                "decoder": {"dim": 32, "layer": 1},
+            },
+            "hparas": {"dtype": "float32"},
+        }
+    )
+    params, _ = asr_mod.asr_init(jax.random.PRNGKey(seed), 20, vocab, cfg.model)
+    rng = np.random.RandomState(seed)
+    feat = jnp.asarray(rng.randn(2, 40, 20).astype(np.float32))
+    feat_len = jnp.asarray([40, 26])
+    return cfg, params, feat, feat_len
+
+
+def test_beam1_equals_greedy():
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.0)
+    max_step = 12
+    g_toks, _ = greedy_decode(params, cfg.model, feat, feat_len, max_step)
+    dcfg = DecodeConfig(beam_size=1, ctc_weight=0.0, lm_weight=0.0, max_len_ratio=10.0)
+    res = beam_search(params, cfg.model, dcfg, feat, feat_len, max_step)
+    g = np.asarray(g_toks)
+    b_ = np.asarray(res.tokens[:, 0])
+    for i in range(g.shape[0]):
+        gl = list(g[i])
+        gl = gl[: gl.index(1) + 1] if 1 in gl else gl
+        bl = list(b_[i][: int(res.lengths[i, 0])])
+        assert bl == gl, f"utt {i}: beam {bl} != greedy {gl}"
+
+
+def test_beam_search_shapes_and_scores_sorted():
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.5)
+    dcfg = DecodeConfig(beam_size=4, ctc_weight=0.3, lm_weight=0.0)
+    res = beam_search(params, cfg.model, dcfg, feat, feat_len, max_step=10)
+    assert res.tokens.shape == (2, 4, 10)
+    s = np.asarray(res.scores)
+    assert (np.diff(s, axis=1) <= 1e-5).all(), "beams not sorted by score"
+    ln = np.asarray(res.lengths)
+    tk = np.asarray(res.tokens)
+    for bi in range(2):
+        for wi in range(4):
+            assert (tk[bi, wi, ln[bi, wi] :] == 0).all()
+
+
+def test_beam_with_lm_fusion():
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.models import lm as lm_mod
+
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.0)
+    lm_cfg = LMConfig(emb_dim=16, dim=24, n_layers=1)
+    lm_params = lm_mod.lm_init(jax.random.PRNGKey(7), 12, lm_cfg)
+    dcfg = DecodeConfig(beam_size=3, ctc_weight=0.0, lm_weight=0.4)
+    res = beam_search(
+        params, cfg.model, dcfg, feat, feat_len, max_step=8,
+        lm_params=lm_params, lm_cfg=lm_cfg,
+    )
+    assert res.tokens.shape == (2, 3, 8)
+    assert np.isfinite(np.asarray(res.scores)[:, 0]).all()
+
+
+def test_beam_jit_compiles():
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.5)
+    dcfg = DecodeConfig(beam_size=4, ctc_weight=0.4)
+    fn = jax.jit(
+        lambda p, f, fl: beam_search(p, cfg.model, dcfg, f, fl, max_step=9)
+    )
+    res = fn(params, feat, feat_len)
+    assert res.tokens.shape == (2, 4, 9)
