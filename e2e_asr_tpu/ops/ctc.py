@@ -113,14 +113,20 @@ def ctc_loss(
     labels: jnp.ndarray,
     label_len: jnp.ndarray,
     zero_infinity: bool = False,
-    impl: str = "pallas",
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """Batched CTC nll, mean-ready [B]. impl: 'pallas' | 'scan'.
+    """Batched CTC nll, mean-ready [B]. impl: 'auto' | 'pallas' | 'scan'.
+
+    'auto' = the Pallas lattice kernel on TPU (faster and ~100x cheaper to
+    compile than autodiff-through-scan), the scan reference elsewhere
+    (Pallas interpret mode on CPU is debug-only slow).
 
     ref: torch.nn.CTCLoss(blank=0, zero_infinity=False) usage in
     bin/train_asr.py — the reference feeds (T, B, V) log-probs; we keep
     batch-major [B, T, V] (TPU layout: batch outer, lanes on vocab).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl == "pallas":
         from e2e_asr_tpu.ops.ctc_pallas import ctc_loss_pallas
 

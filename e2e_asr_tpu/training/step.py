@@ -95,7 +95,7 @@ def compute_loss(
         ctc_label_len = jnp.maximum(text_len - 1, 0)  # strip <eos>
         pos = jnp.arange(text.shape[1])[None, :]
         ctc_labels = jnp.where(pos < ctc_label_len[:, None], text, 0)
-        nll = ctc_loss(lp, enc_len, ctc_labels, ctc_label_len, impl="scan")
+        nll = ctc_loss(lp, enc_len, ctc_labels, ctc_label_len, impl="auto")
         per_utt = jnp.where(
             valid_utt & jnp.isfinite(nll), nll / jnp.maximum(ctc_label_len, 1), 0.0
         )

@@ -37,7 +37,7 @@ def test_extend_labels():
     np.testing.assert_array_equal(np.asarray(ext), [[0, 3, 0, 5, 0, 0, 0]])
 
 
-@pytest.mark.parametrize("impl", ["scan"])
+@pytest.mark.parametrize("impl", ["scan", "pallas"])
 def test_ctc_matches_torch(impl):
     rng = np.random.RandomState(0)
     logits, log_probs, input_len, labels, label_len = make_case(rng)
@@ -48,7 +48,7 @@ def test_ctc_matches_torch(impl):
     np.testing.assert_allclose(np.asarray(ours), gold, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["scan"])
+@pytest.mark.parametrize("impl", ["scan", "pallas"])
 def test_ctc_grad_matches_torch(impl):
     rng = np.random.RandomState(1)
     logits, _, input_len, labels, label_len = make_case(rng, b=2, t=15, v=6, lmax=5)
