@@ -72,6 +72,7 @@ class Solver(BaseSolver):
                 {"params": state.params, "opt_state": state.opt_state, "step": state.step},
             )
             state = TrainState(state["params"], state["opt_state"], jnp.asarray(state["step"]))
+            self.step = int(state.step)  # resume the outer loop too
             self.verbose(f"Resumed from {self.paras.load} @ step {int(state.step)}")
         self.state = jax.device_put(state, mesh_mod.replicated(self.mesh))
         n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -105,7 +106,9 @@ class Solver(BaseSolver):
         self.verbose(f"Total training steps {human_format(self.max_step)}.")
         cfg = self.config
         curriculum_epochs = 1 if cfg.hparas.curriculum > 0 else 0
-        data_iter = self.tr_set.forever(curriculum_epochs=curriculum_epochs)
+        data_iter = self.tr_set.forever(
+            curriculum_epochs=curriculum_epochs, skip_steps=self.step
+        )
         t_wall = time.time()
         audio_sec_acc = 0.0
         self.timer.set()

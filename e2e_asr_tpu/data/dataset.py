@@ -151,14 +151,21 @@ class BucketedLoader:
         uids += [""] * (b - len(idxs))
         return Batch(wav, wav_len, txt, txt_len, tuple(uids))
 
-    def epoch(self, epoch_idx: int = 0, ascending: Optional[bool] = None) -> Iterator[Batch]:
-        """One epoch of batches, optionally shuffled, prefetched."""
+    def epoch(
+        self, epoch_idx: int = 0, ascending: Optional[bool] = None, skip_first: int = 0
+    ) -> Iterator[Batch]:
+        """One epoch of batches, optionally shuffled, prefetched.
+
+        skip_first: skip that many batches *without materializing them* —
+        used by resume to fast-forward the data stream deterministically.
+        """
         order = list(range(len(self._batches)))
         asc = self.ascending if ascending is None else ascending
         if asc:
             pass  # already duration-ascending by construction
         elif self.shuffle:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        order = order[skip_first:]
 
         pad_bs = {bi: max(len(c) for b2, c in self._batches if b2 == bi) for bi, _ in self._batches}
 
@@ -186,11 +193,21 @@ class BucketedLoader:
                 break
             yield item
 
-    def forever(self, start_epoch: int = 0, curriculum_epochs: int = 0) -> Iterator[Batch]:
-        """Endless step-based iteration (ref: step loop to max_step)."""
+    def forever(
+        self, start_epoch: int = 0, curriculum_epochs: int = 0, skip_steps: int = 0
+    ) -> Iterator[Batch]:
+        """Endless step-based iteration (ref: step loop to max_step).
+
+        skip_steps fast-forwards past the batches a resumed run already
+        consumed, so checkpoint resume replays the exact data trajectory.
+        """
         e = start_epoch
+        n = max(len(self._batches), 1)
+        e += skip_steps // n
+        skip = skip_steps % n
         while True:
-            yield from self.epoch(e, ascending=(e < curriculum_epochs))
+            yield from self.epoch(e, ascending=(e < curriculum_epochs), skip_first=skip)
+            skip = 0
             e += 1
 
 

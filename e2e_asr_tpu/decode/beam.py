@@ -127,9 +127,13 @@ def beam_search(
             prev_att=carry.prev_att,
             prev_tok=carry.prev_tok.reshape(-1),
         )
-        logits, align, new_att_carry = asr_mod.attend_and_step(
+        logits, align, hidden, new_att_carry = asr_mod.attend_and_step(
             params, cfg, mem_bw, att_carry, carry.prev_tok.reshape(-1)
         )
+        if "emb_reg" in params and cfg.emb_reg.fuse > 0:
+            from e2e_asr_tpu.models import plugin as plugin_mod
+
+            logits = plugin_mod.fused_log_probs(params["emb_reg"], cfg.emb_reg, logits, hidden)
         step_lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(b, w, vocab)
 
         if use_lm:

@@ -39,9 +39,13 @@ def greedy_decode(
     )
 
     def body(carry, _):
-        logits, align, new_carry = asr_mod.attend_and_step(
+        logits, align, hidden, new_carry = asr_mod.attend_and_step(
             params, cfg, mem, carry, carry.prev_tok
         )
+        if "emb_reg" in params and cfg.emb_reg.fuse > 0:
+            from e2e_asr_tpu.models import plugin as plugin_mod
+
+            logits = plugin_mod.fused_log_probs(params["emb_reg"], cfg.emb_reg, logits, hidden)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         return new_carry._replace(prev_tok=tok), (tok, align)
 

@@ -49,6 +49,12 @@ def asr_init(key, feat_dim: int, vocab: int, cfg: ModelConfig) -> Tuple[Params, 
         p["embed"] = L.embedding_init(ks[2], vocab, emb_dim)
         p["attention"], ctx_dim = att_mod.attention_init(ks[3], enc_dim, cfg.decoder.dim, cfg.attention)
         p["decoder"] = dec_mod.decoder_init(ks[4], ctx_dim + emb_dim, vocab, cfg.decoder)
+        if cfg.emb_reg.enable:
+            from e2e_asr_tpu.models import plugin as plugin_mod
+
+            p["emb_reg"] = plugin_mod.emb_reg_init(
+                jax.random.fold_in(key, 99), cfg.decoder.dim, vocab, cfg.emb_reg
+            )
     return p, ASRShapes(enc_dim, ctx_dim, emb_dim, vocab)
 
 
@@ -88,11 +94,11 @@ def attend_and_step(
     emb = L.embed(params["embed"], tok, dtype=mem["k"].dtype)
     query = dec_mod.query_of(carry.dec_state)
     align, ctx = att_mod.step(params["attention"], cfg.attention, query, mem, carry.prev_att)
-    logits, _, new_state = dec_mod.step(
+    logits, hidden, new_state = dec_mod.step(
         params["decoder"], cfg.decoder, carry.dec_state, jnp.concatenate([emb, ctx], -1),
         rng=rng, train=train,
     )
-    return logits, align, DecodeCarry(new_state, align, tok)
+    return logits, align, hidden, DecodeCarry(new_state, align, tok)
 
 
 def forward(
@@ -147,7 +153,7 @@ def forward(
         tok_teacher, coin, r = inp
         use_teacher = jnp.logical_or(coin, jnp.asarray(not train))
         tok = jnp.where(use_teacher, tok_teacher, carry.prev_tok)
-        logits, align, new_carry = attend_and_step(
+        logits, align, hidden, new_carry = attend_and_step(
             params, cfg, mem, carry, tok, rng=r, train=train
         )
         if sample_decoding:
@@ -155,11 +161,12 @@ def forward(
         else:
             pred = jnp.argmax(logits, -1)
         new_carry = new_carry._replace(prev_tok=pred.astype(jnp.int32))
-        return new_carry, (logits, align)
+        return new_carry, (logits, align, hidden)
 
-    _, (att_logits, aligns) = jax.lax.scan(
+    _, (att_logits, aligns, hiddens) = jax.lax.scan(
         body, carry0, (jnp.moveaxis(teacher_in, 0, 1), coins, step_rngs)
     )
     out["att_logits"] = jnp.moveaxis(att_logits, 0, 1)  # [B, L, V]
     out["align"] = jnp.moveaxis(aligns, 0, 1)  # [B, L, H, S]
+    out["att_hidden"] = jnp.moveaxis(hiddens, 0, 1)  # [B, L, H_dec]
     return out

@@ -83,12 +83,28 @@ def compute_loss(
     if "att_logits" in out:
         logits = out["att_logits"].astype(jnp.float32)  # [B, L, V]
         tok_mask = (jnp.arange(text.shape[1])[None, :] < text_len[:, None]) & valid_utt[:, None]
-        logp = jax.nn.log_softmax(logits, -1)
+        if "emb_reg" in params and m.emb_reg.fuse > 0:
+            from e2e_asr_tpu.models import plugin as plugin_mod
+
+            logp = plugin_mod.fused_log_probs(
+                params["emb_reg"], m.emb_reg, logits, out["att_hidden"]
+            )
+            logp = jax.nn.log_softmax(logp, -1)  # renormalize the mixture
+        else:
+            logp = jax.nn.log_softmax(logits, -1)
         nll = -jnp.take_along_axis(logp, text[..., None], axis=-1)[..., 0]
         att_loss = jnp.sum(nll * tok_mask) / jnp.maximum(jnp.sum(tok_mask), 1)
         metrics["att_loss"] = att_loss
-        metrics["att_preds"] = jnp.argmax(logits, -1)
+        metrics["att_preds"] = jnp.argmax(logp, -1)
         total = total + (1.0 - m.ctc_weight) * att_loss
+        if "emb_reg" in params and m.emb_reg.weight > 0:
+            from e2e_asr_tpu.models import plugin as plugin_mod
+
+            er = plugin_mod.emb_reg_loss(
+                params["emb_reg"], m.emb_reg, out["att_hidden"], text, text_len
+            )
+            metrics["emb_reg_loss"] = er
+            total = total + m.emb_reg.weight * er
 
     if "ctc_log_probs" in out:
         lp = out["ctc_log_probs"].astype(jnp.float32)

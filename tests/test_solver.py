@@ -1,0 +1,149 @@
+"""Solver integration tests: training CLI, checkpoint bit-exact resume,
+LM training path (SURVEY.md §4: checkpoint save/restore bit-exact resume)."""
+
+import os
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from e2e_asr_tpu.config import Config
+
+
+def make_paras(tmp_path, **kw):
+    d = dict(
+        config="synthetic.yaml",
+        name=kw.pop("name", "t"),
+        logdir=str(tmp_path / "log"),
+        ckpdir=str(tmp_path / "ckpt"),
+        outdir=str(tmp_path / "out"),
+        load=None,
+        seed=0,
+        njobs=0,
+        verbose=False,
+    )
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
+def asr_config(max_step=6, valid_step=5):
+    return Config.from_dict(
+        {
+            "data": {
+                "corpus": {
+                    "name": "synthetic",
+                    "train_split": ["train:12"],
+                    "dev_split": ["dev:4"],
+                    "batch_size": 4,
+                    "buckets": [208, 416, 816],
+                    "token_buckets": [48, 48, 64],
+                },
+                "audio": {"feat_dim": 40, "use_pallas": False},
+                "text": {"mode": "character"},
+            },
+            "hparas": {
+                "valid_step": valid_step,
+                "max_step": max_step,
+                "optimizer": "Adam",
+                "lr": 1e-3,
+                "dtype": "float32",
+                "log_step": 2,
+            },
+            "model": {
+                "ctc_weight": 0.3,
+                "encoder": {
+                    "prenet": "vgg",
+                    "dim": [32, 32],
+                    "dropout": [0.0, 0.0],
+                    "layer_norm": [False, False],
+                    "proj": [True, True],
+                    "sample_rate": [1, 1],
+                    "sample_style": "drop",
+                },
+                "attention": {"mode": "location", "dim": 24, "num_head": 1,
+                              "loc_kernel_size": 8, "loc_kernel_num": 4},
+                "decoder": {"dim": 32, "layer": 1},
+            },
+        }
+    )
+
+
+def test_train_solver_runs_and_checkpoints(tmp_path):
+    from e2e_asr_tpu.bin.train_asr import Solver
+
+    cfg = asr_config()
+    s = Solver(cfg, make_paras(tmp_path), "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+    assert os.path.exists(os.path.join(s.ckpdir, "latest"))
+    assert os.path.exists(os.path.join(s.ckpdir, "best_att"))
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """Train 6 steps == train 3, save, resume 3 (identical data/rng path)."""
+    from e2e_asr_tpu.bin.train_asr import Solver
+
+    # run A: 6 straight steps
+    cfg = asr_config(max_step=6, valid_step=100)
+    sa = Solver(cfg, make_paras(tmp_path, name="a"), "train")
+    sa.load_data()
+    sa.set_model()
+    sa.exec()
+    pa = jax.tree.leaves(sa.state.params)
+
+    # run B: 3 steps, checkpoint, fresh solver resumes to 6
+    cfg_b = asr_config(max_step=3, valid_step=100)
+    sb = Solver(cfg_b, make_paras(tmp_path, name="b"), "train")
+    sb.load_data()
+    sb.set_model()
+    sb.exec()
+    ck = os.path.join(sb.ckpdir, "latest")
+
+    cfg_c = asr_config(max_step=6, valid_step=100)
+    sc = Solver(cfg_c, make_paras(tmp_path, name="c", load=ck), "train")
+    sc.load_data()
+    sc.set_model()
+    assert int(sc.state.step) == 3 and sc.step == 3
+    sc.exec()
+    pc = jax.tree.leaves(sc.state.params)
+
+    for a, c in zip(pa, pc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5, atol=1e-6)
+
+
+def test_lm_solver_trains_and_improves(tmp_path):
+    from e2e_asr_tpu.bin.train_lm import Solver
+
+    cfg = Config.from_dict(
+        {
+            "data": {
+                "corpus": {"name": "synthetic", "train_split": ["train:64"], "dev_split": ["dev:16"]},
+                "text": {"mode": "character"},
+            },
+            "hparas": {"valid_step": 30, "max_step": 31, "optimizer": "Adam",
+                       "lr": 3e-3, "log_step": 10},
+            "lm": {"emb_dim": 32, "dim": 48, "n_layers": 1, "batch_size": 8, "dropout": 0.0},
+        }
+    )
+    s = Solver(cfg, make_paras(tmp_path, name="lm"), "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+    assert s.best_ppl < 30, f"LM ppl did not improve: {s.best_ppl}"
+    assert os.path.exists(os.path.join(s.ckpdir, "best_ppl"))
+
+
+def test_emb_tying_lm():
+    from e2e_asr_tpu.config import LMConfig
+    from e2e_asr_tpu.models import lm as lm_mod
+
+    cfg = LMConfig(emb_tying=True, emb_dim=16, dim=24, n_layers=1)
+    p = lm_mod.lm_init(jax.random.PRNGKey(0), 11, cfg)
+    assert "out" not in p and "out_proj" in p
+    logits = lm_mod.apply_seq(p, cfg, jnp.ones((2, 5), jnp.int32), jnp.asarray([5, 5]))
+    assert logits.shape == (2, 5, 11)
+    lp, st = lm_mod.step(p, cfg, jnp.ones((2,), jnp.int32), lm_mod.init_state(2, cfg))
+    np.testing.assert_allclose(np.asarray(jnp.exp(lp).sum(-1)), 1.0, rtol=1e-5)
