@@ -26,6 +26,8 @@ class Utterance:
     load: Callable[[], np.ndarray]  # -> float32 [n_samples]
     text: str
     n_samples: int
+    wav_path: Optional[str] = None  # set when backed by a wav file => the
+    # bucketed loader can batch-decode via the native C++ packer
 
 
 def _load_wav(path: str) -> np.ndarray:
@@ -87,7 +89,12 @@ def librispeech(
                     continue
                 full = os.path.join(dirpath, fn)
                 if ext == ".wav":
-                    utts.append(Utterance(base, lambda p=full: _load_wav(p), trans[base], _wav_samples(full)))
+                    utts.append(
+                        Utterance(
+                            base, lambda p=full: _load_wav(p), trans[base],
+                            _wav_samples(full), wav_path=full,
+                        )
+                    )
                 else:
                     n = int(np.load(full, mmap_mode="r").size)
                     utts.append(Utterance(base, lambda p=full: _load_npy(p), trans[base], n))

@@ -134,16 +134,32 @@ class BucketedLoader:
         n_bucket = self.buckets_samples[bi]
         l_bucket = self.token_buckets[bi]
         b = max(len(idxs), 1) if pad_to_batch == 0 else pad_to_batch
-        wav = np.zeros((b, n_bucket), np.float32)
-        wav_len = np.zeros((b,), np.int32)
+        utts = [self._items[idx][0] for idx in idxs]
+        wav = None
+        if utts and all(u.wav_path for u in utts):
+            # native C++ threaded decode+pad (no GIL, no worker forks)
+            try:
+                from e2e_asr_tpu.native.audio_io import pack_batch
+
+                packed, lens = pack_batch([u.wav_path for u in utts], n_bucket)
+                wav = np.zeros((b, n_bucket), np.float32)
+                wav_len = np.zeros((b,), np.int32)
+                wav[: len(utts)] = packed
+                wav_len[: len(utts)] = lens.astype(np.int32)
+            except Exception:
+                wav = None
+        if wav is None:
+            wav = np.zeros((b, n_bucket), np.float32)
+            wav_len = np.zeros((b,), np.int32)
+            for j, u in enumerate(utts):
+                x = u.load()
+                wav[j, : len(x)] = x[:n_bucket]
+                wav_len[j] = min(len(x), n_bucket)
         txt = np.zeros((b, l_bucket), np.int32)
         txt_len = np.zeros((b,), np.int32)
         uids = []
         for j, idx in enumerate(idxs):
             u, ids, _ = self._items[idx]
-            x = u.load()
-            wav[j, : len(x)] = x[:n_bucket]
-            wav_len[j] = min(len(x), n_bucket)
             txt[j, : len(ids)] = ids[:l_bucket]
             txt_len[j] = min(len(ids), l_bucket)
             uids.append(u.uid)
