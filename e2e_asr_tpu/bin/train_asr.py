@@ -66,14 +66,19 @@ class Solver(BaseSolver):
         params, self.shapes = asr_mod.asr_init(key, self.feat_dim, self.vocab_size, cfg.model)
         self.tx = build_optimizer(cfg.hparas)
         state = TrainState(params, self.tx.init(params), jnp.asarray(0, jnp.int32))
-        if self.paras.load:
+        # explicit --load wins; else auto-resume from an interrupted run's
+        # latest checkpoint (SURVEY §5: failure recovery = restart + resume)
+        load_path = self.paras.load or (
+            self.latest_ckpt_path() if getattr(self.paras, "auto_resume", True) else None
+        )
+        if load_path:
             state = self.load_ckpt_payload(
-                self.paras.load,
+                load_path,
                 {"params": state.params, "opt_state": state.opt_state, "step": state.step},
             )
             state = TrainState(state["params"], state["opt_state"], jnp.asarray(state["step"]))
             self.step = int(state.step)  # resume the outer loop too
-            self.verbose(f"Resumed from {self.paras.load} @ step {int(state.step)}")
+            self.verbose(f"Resumed from {load_path} @ step {int(state.step)}")
         self.state = jax.device_put(state, mesh_mod.replicated(self.mesh))
         n_params = sum(x.size for x in jax.tree.leaves(params))
         self.verbose(
@@ -141,7 +146,8 @@ class Solver(BaseSolver):
                 self.validate()
                 t_wall, audio_sec_acc = time.time(), 0.0
         self.verbose("Training completed.")
-        self.save_checkpoint("latest", "step", float(self.step), self.state)
+        self.save_checkpoint("latest", "step", float(self.step), self.state, block=True)
+        self.finish_checkpoints()
         if self.log is not None:
             self.log.close()
 

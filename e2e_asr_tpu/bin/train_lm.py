@@ -114,7 +114,8 @@ class Solver(BaseSolver):
                 self.write_log("lm_ppl", float(np.exp(loss)))
             if self.step % self.valid_step == 0:
                 self.validate()
-        self.save_checkpoint("latest", "step", float(self.step), self.state)
+        self.save_checkpoint("latest", "step", float(self.step), self.state, block=True)
+        self.finish_checkpoints()
         if self.log is not None:
             self.log.close()
 

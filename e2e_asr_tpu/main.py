@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test", action="store_true", help="evaluation (beam decode)")
     p.add_argument("--lm", action="store_true", help="RNN-LM task")
     p.add_argument("--no-msg", action="store_true")
+    p.add_argument(
+        "--no-auto-resume", dest="auto_resume", action="store_false",
+        help="do not auto-resume from ckpdir/<name>/latest",
+    )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
     return p

@@ -83,28 +83,49 @@ class BaseSolver:
             self.log.add_image(log_name, log_dict, self.step, dataformats="HWC")
 
     # ----------------------------------------------------------- checkpoints
-    def save_checkpoint(self, fname: str, metric: str, score: float, state) -> None:
-        """orbax save of the full train state + metadata.
+    _ckptr = None
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        if BaseSolver._ckptr is None:
+            # async: saves overlap the next training steps (SURVEY §5 plan)
+            BaseSolver._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        return BaseSolver._ckptr
+
+    def save_checkpoint(self, fname: str, metric: str, score: float, state, block: bool = False) -> None:
+        """orbax async save of the full train state + metadata.
 
         ref: BaseSolver.save_checkpoint(torch.save({'model','optimizer',
-        'global_step', metric: score})).
+        'global_step', metric: score})); async here so the device keeps
+        training while the host serializes.
         """
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.ckpdir, fname))
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer()
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        ckptr.save(path, payload, force=True)
-        ckptr.wait_until_finished()
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        if block:
+            ckptr.wait_until_finished()
         with open(path + ".meta", "w") as f:
             f.write(f"{metric} {score}\nglobal_step {int(state.step)}\n")
         self.verbose(
             f"Saved checkpoint (step = {int(state.step)}, {metric} = {score:.2f}) -> {fname}"
         )
+
+    def finish_checkpoints(self) -> None:
+        if BaseSolver._ckptr is not None:
+            BaseSolver._ckptr.wait_until_finished()
+
+    def latest_ckpt_path(self) -> Optional[str]:
+        """Auto-resume support: newest complete 'latest' checkpoint, if any."""
+        p = os.path.join(self.ckpdir, "latest")
+        return p if os.path.isdir(p) else None
 
     def load_ckpt_payload(self, path: str, template) -> Any:
         """Restore a checkpoint into the structure of `template`.
@@ -115,6 +136,7 @@ class BaseSolver:
         """
         import orbax.checkpoint as ocp
 
+        self.finish_checkpoints()  # never restore a half-written async save
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(
                 os.path.abspath(path),
