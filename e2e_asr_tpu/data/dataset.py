@@ -75,6 +75,7 @@ class BucketedLoader:
         num_workers: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        cache_bytes: int = 2 << 30,
     ):
         assert len(buckets_frames) == len(token_buckets)
         self.tokenizer = tokenizer
@@ -86,6 +87,11 @@ class BucketedLoader:
         self.ascending = ascending
         self.seed = seed
         self.num_workers = num_workers
+        # in-memory waveform cache (the reference re-decodes in DataLoader
+        # workers every epoch; small corpora fit in host RAM easily)
+        self._wav_cache: Dict[int, np.ndarray] = {}
+        self._cache_used = 0
+        self._cache_cap = cache_bytes
 
     # per-host shard (multi-host DP input pipeline; SURVEY §2.2)
         utts = [u for i, u in enumerate(utts) if i % process_count == process_index]
@@ -151,8 +157,14 @@ class BucketedLoader:
         if wav is None:
             wav = np.zeros((b, n_bucket), np.float32)
             wav_len = np.zeros((b,), np.int32)
-            for j, u in enumerate(utts):
-                x = u.load()
+            for j, idx in enumerate(idxs):
+                u = self._items[idx][0]
+                x = self._wav_cache.get(idx)
+                if x is None:
+                    x = u.load()
+                    if self._cache_used + x.nbytes <= self._cache_cap:
+                        self._wav_cache[idx] = x
+                        self._cache_used += x.nbytes
                 wav[j, : len(x)] = x[:n_bucket]
                 wav_len[j] = min(len(x), n_bucket)
         txt = np.zeros((b, l_bucket), np.int32)

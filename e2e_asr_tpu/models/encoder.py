@@ -128,13 +128,13 @@ def rnn_layer_apply(
     rng,
     train: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    run = rnn_ops.lstm if module.upper() == "LSTM" else rnn_ops.gru
-    fwd_out = run(x, x_len, p["fwd"])[0]
+    cell = "lstm" if module.upper() == "LSTM" else "gru"
     if "bwd" in p:
-        bwd_out = run(x, x_len, p["bwd"], reverse=True)[0]
-        out = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+        # single-scan bidirectional (2B rows per step; see ops/rnn.bidir)
+        out = rnn_ops.bidir(x, x_len, p["fwd"], p["bwd"], cell=cell)
     else:
-        out = fwd_out
+        run = rnn_ops.lstm if cell == "lstm" else rnn_ops.gru
+        out = run(x, x_len, p["fwd"])[0]
     # pyramidal time downsample (ref: RNNLayer sample_rate/sample_style)
     if sample_rate > 1:
         b, t, d = out.shape

@@ -105,6 +105,63 @@ def lstm(
     return jnp.moveaxis(ys, 0, 1), (h_f, c_f)
 
 
+def bidir(
+    x: jnp.ndarray,
+    x_len: jnp.ndarray,
+    w_fwd: LSTMWeights,
+    w_bwd: LSTMWeights,
+    cell: str = "lstm",
+) -> jnp.ndarray:
+    """Bidirectional recurrence in ONE scan: the reversed stream rides the
+    batch axis, so the sequential loop runs T steps total (not 2T) and the
+    per-step hidden matmul sees 2B rows — twice the MXU sublane
+    utilization of two separate scans. Direction-specific weights become a
+    leading-axis stack contracted with einsum.
+
+    Returns [B, T, 2H] (fwd ++ bwd), masked to zero past x_len.
+    """
+    b, t, _ = x.shape
+    hdim = w_fwd.wh.shape[0]
+    dt = x.dtype
+    xw_f = x @ w_fwd.wx.astype(dt) + w_fwd.b.astype(dt)  # [B, T, GH]
+    xw_b = x @ w_bwd.wx.astype(dt) + w_bwd.b.astype(dt)
+    tidx = jnp.arange(t)
+    mask = tidx[:, None] < x_len[None, :]  # [T, B]
+    xw_f = jnp.moveaxis(xw_f, 0, 1)
+    xw_b = jnp.flip(jnp.moveaxis(xw_b, 0, 1), axis=0)
+    xw = jnp.concatenate([xw_f, xw_b], axis=1)  # [T, 2B, GH]
+    mask2 = jnp.concatenate([mask, jnp.flip(mask, axis=0)], axis=1)  # [T, 2B]
+    wh = jnp.stack([w_fwd.wh, w_bwd.wh]).astype(dt)  # [2, H, GH]
+
+    is_lstm = cell == "lstm"
+    h = jnp.zeros((2 * b, hdim), dt)
+    state0 = (h, h) if is_lstm else h
+
+    def hidden_matmul(hcat):
+        return jnp.einsum("dbh,dhg->dbg", hcat.reshape(2, b, hdim), wh).reshape(2 * b, -1)
+
+    def cell_step(xw_t, state):
+        if is_lstm:
+            h_, c_ = state
+            gates = xw_t + hidden_matmul(h_)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c2 = jax.nn.sigmoid(f) * c_ + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+            return (h2, c2), h2
+        xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hidden_matmul(state), 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h2 = (1.0 - z) * n + z * state
+        return h2, h2
+
+    ys, _ = _masked_scan(cell_step, xw, mask2, state0)  # [T, 2B, H]
+    y_f = jnp.moveaxis(ys[:, :b], 0, 1)
+    y_b = jnp.moveaxis(jnp.flip(ys[:, b:], axis=0), 0, 1)
+    return jnp.concatenate([y_f, y_b], axis=-1)
+
+
 def gru(
     x: jnp.ndarray,
     x_len: jnp.ndarray,

@@ -82,3 +82,40 @@ def test_gru_matches_torch():
     ours, _ = gru(jnp.asarray(x), jnp.asarray([t, t]), LSTMWeights(jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(b)))
     gold, _ = cell(torch.tensor(x))
     np.testing.assert_allclose(np.asarray(ours), gold.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_bidir_single_scan_matches_two_scans():
+    from e2e_asr_tpu.ops.rnn import bidir
+
+    rng = np.random.RandomState(5)
+    b_, t, d, h = 3, 11, 6, 8
+    x = rng.randn(b_, t, d).astype(np.float32)
+    lens = jnp.asarray([11, 7, 4])
+    wf, _ = torch_lstm_weights(d, h, rng)
+    wb, _ = torch_lstm_weights(d, h, rng)
+    fused = bidir(jnp.asarray(x), lens, wf, wb, cell="lstm")
+    f, _ = lstm(jnp.asarray(x), lens, wf)
+    b2, _ = lstm(jnp.asarray(x), lens, wb, reverse=True)
+    gold = jnp.concatenate([f, b2], axis=-1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(gold), rtol=1e-5, atol=1e-6)
+
+
+def test_bidir_gru_matches_two_scans():
+    from e2e_asr_tpu.ops.rnn import LSTMWeights, bidir
+
+    rng = np.random.RandomState(6)
+    b_, t, d, h = 2, 9, 5, 7
+    x = rng.randn(b_, t, d).astype(np.float32)
+    lens = jnp.asarray([9, 5])
+    def mkw():
+        return LSTMWeights(
+            jnp.asarray(rng.randn(d, 3 * h).astype(np.float32) * 0.1),
+            jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.1),
+            jnp.asarray(rng.randn(3 * h).astype(np.float32) * 0.1),
+        )
+    wf, wb = mkw(), mkw()
+    fused = bidir(jnp.asarray(x), lens, wf, wb, cell="gru")
+    f, _ = gru(jnp.asarray(x), lens, wf)
+    b2, _ = gru(jnp.asarray(x), lens, wb, reverse=True)
+    gold = jnp.concatenate([f, b2], axis=-1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(gold), rtol=1e-5, atol=1e-6)
