@@ -37,47 +37,24 @@ NEG = -1.0e9
 # at that granularity (~190us/step measured). As a banded matmul all three
 # passes (fwd, d/d_alignment, d/d_kernel) are MXU einsums + one gather —
 # ~4x faster decoder backward at the reference's kernel_size=100.
-def _toeplitz(kw: jnp.ndarray, s: int) -> jnp.ndarray:
-    """kw [D, H, K] conv taps -> banded T [P, S, H, K]:
-    T[p, s] = kw[p - s + (D-1)//2] (zero outside the band)."""
-    d_taps = kw.shape[0]
-    ks = (d_taps - 1) // 2
-    p = jnp.arange(s)[:, None]
-    so = jnp.arange(s)[None, :]
-    d = p - so + ks
-    valid = (d >= 0) & (d < d_taps)
-    return jnp.where(valid[..., None, None], kw[jnp.clip(d, 0, d_taps - 1)], 0.0)
-
-
-from functools import partial
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def toeplitz_bank(kw: jnp.ndarray, s: int) -> jnp.ndarray:
-    """Differentiable Toeplitz expansion of the conv taps; built ONCE per
-    utterance batch in prepare() — not per decode step — and its backward
-    (diagonal sums of the bank cotangent) is a gather, never a scatter."""
-    return _toeplitz(kw, s)
+    """Differentiable Toeplitz expansion of the conv taps, built ONCE per
+    utterance batch in prepare() — not per decode step.
 
-
-def _tb_fwd(kw, s):
-    return _toeplitz(kw, s), kw.shape[0]
-
-
-def _tb_bwd(s, d_taps, g_t):
+    kw [D, H, K] -> T [P, S, H, K] with T[p, s] = kw[p - s + (D-1)//2]
+    (zero outside the band). Constructed by the tile/reshape trick — pad
+    the taps with S zeros, tile S times, drop one period, reshape — so it
+    is pure data movement: no gathers forward, no scatters in autodiff
+    (tile's transpose is a reshape+sum over repeats).
+    """
+    d_taps, h, k = kw.shape
     ks = (d_taps - 1) // 2
-    p = jnp.arange(s)[:, None]
-    dd = jnp.arange(d_taps)[None, :]
-    sidx = p - dd + ks  # [P, D]
-    valid = (sidx >= 0) & (sidx < s)
-    picked = jnp.take_along_axis(
-        g_t, jnp.clip(sidx, 0, s - 1)[:, :, None, None], axis=1
-    )  # g_t [P, S, H, K] -> [P, D, H, K]
-    g_kw = jnp.sum(jnp.where(valid[:, :, None, None], picked, 0.0), axis=0)  # [D, H, K]
-    return (g_kw,)
-
-
-toeplitz_bank.defvjp(_tb_fwd, _tb_bwd)
+    c = jnp.concatenate([kw, jnp.zeros((s, h, k), kw.dtype)], axis=0)  # [D+S, H, K]
+    tiled = jnp.tile(c, (s, 1, 1))[: s * (d_taps + s - 1)]
+    m = tiled.reshape(s, d_taps + s - 1, h, k)  # m[s_out, j] = kw[j - s_out]
+    # want T[p, s_out] = kw[p - s_out + ks]  =>  j = p + ks
+    t = m[:, ks : ks + s]  # [S_out, P, H, K]
+    return jnp.swapaxes(t, 0, 1)  # [P, S_out, H, K]
 
 
 def loc_features(att: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
