@@ -23,6 +23,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from e2e_asr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from e2e_asr_tpu.config import Config
     from e2e_asr_tpu.models import asr as asr_mod
     from e2e_asr_tpu.optim import build_optimizer

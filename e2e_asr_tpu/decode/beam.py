@@ -57,15 +57,18 @@ class _Carry(NamedTuple):
     fin_len: jnp.ndarray  # [B, W]
 
 
+_BATCH_FREE_MEM = {"loc_T"}  # batch-independent mem entries (shared across beams)
+
+
 def _tile_mem(mem: dict, w: int) -> dict:
     """Broadcast per-utterance attention memory across beams -> [B*W, ...]."""
     out = {}
     for k, v in mem.items():
-        if hasattr(v, "shape") and v.ndim >= 1:
+        if k in _BATCH_FREE_MEM or not (hasattr(v, "shape") and v.ndim >= 1):
+            out[k] = v
+        else:
             tiled = jnp.broadcast_to(v[:, None], (v.shape[0], w) + v.shape[1:])
             out[k] = tiled.reshape((v.shape[0] * w,) + v.shape[1:])
-        else:
-            out[k] = v
     return out
 
 

@@ -54,6 +54,10 @@ def main(argv=None):
 
         jax.distributed.initialize()
 
+    from e2e_asr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from e2e_asr_tpu.config import Config
 
     config = Config.load(paras.config)

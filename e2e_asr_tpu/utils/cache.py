@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles of the fused train step / beam search are expensive (minutes
+through this environment's remote compile service); the on-disk cache
+makes every recompile of an already-seen (program, shape) pair ~10x
+faster across processes. Enabled by the CLI, bench, and driver entry
+points.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def enable_compilation_cache(cache_dir: str = "jax_cache") -> None:
+    global _DONE
+    if _DONE:
+        return
+    import jax
+
+    path = os.path.abspath(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _DONE = True
