@@ -176,3 +176,30 @@ def test_beam_jit_compiles():
     )
     res = fn(params, feat, feat_len)
     assert res.tokens.shape == (2, 4, 9)
+
+
+def test_beam_eos_length_window():
+    """min/max_len_ratio bound finished hypothesis lengths."""
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.0)
+    dcfg = DecodeConfig(beam_size=4, ctc_weight=0.0, min_len_ratio=0.3, max_len_ratio=0.6)
+    res = beam_search(params, cfg.model, dcfg, feat, feat_len, max_step=16)
+    # enc lens are 20 and 13 (40/2, 26/2); window is [0.3*S, 0.6*S]
+    enc_s = np.asarray([20, 13])
+    ln = np.asarray(res.lengths)
+    tk = np.asarray(res.tokens)
+    for bi in range(2):
+        for wi in range(4):
+            ended = 1 in list(tk[bi, wi])
+            if ended:
+                assert ln[bi, wi] >= int(0.3 * enc_s[bi])
+                assert ln[bi, wi] <= max(int(0.6 * enc_s[bi]), 1) + 1
+
+
+def test_beam_with_padded_batch_row():
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.3)
+    feat = feat.at[1].set(0.0)
+    feat_len = feat_len.at[1].set(0)  # fully padded row
+    dcfg = DecodeConfig(beam_size=3, ctc_weight=0.3)
+    res = beam_search(params, cfg.model, dcfg, feat, jnp.maximum(feat_len, 0), max_step=8)
+    assert np.isfinite(np.asarray(res.scores)[0]).any()
+    assert res.tokens.shape == (2, 3, 8)  # padded row decodes garbage, caller drops by uid
