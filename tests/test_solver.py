@@ -147,3 +147,46 @@ def test_emb_tying_lm():
     assert logits.shape == (2, 5, 11)
     lp, st = lm_mod.step(p, cfg, jnp.ones((2,), jnp.int32), lm_mod.init_state(2, cfg))
     np.testing.assert_allclose(np.asarray(jnp.exp(lp).sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_train_solver_subword_mode(tmp_path):
+    """BPE tokenizer end-to-end through the training solver."""
+    from e2e_asr_tpu.bin.train_asr import Solver
+
+    cfg = asr_config(max_step=2, valid_step=100)
+    cfg.data.text.mode = "subword"
+    s = Solver(cfg, make_paras(tmp_path, name="sw"), "train")
+    s.load_data()
+    assert s.tokenizer.token_type == "subword"
+    assert s.vocab_size > 10
+    s.set_model()
+    s.exec()
+
+
+def test_test_solver_end_to_end(tmp_path):
+    """Train 2 steps -> beam decode via the test solver (CSV outputs)."""
+    import os
+
+    from e2e_asr_tpu.bin.test_asr import Solver as TestSolver
+    from e2e_asr_tpu.bin.train_asr import Solver as TrainSolver
+
+    cfg = asr_config(max_step=2, valid_step=100)
+    st = TrainSolver(cfg, make_paras(tmp_path, name="tr"), "train")
+    st.load_data()
+    st.set_model()
+    st.exec()
+
+    dcfg = asr_config()
+    dcfg.src.ckpt = os.path.join(st.ckpdir, "latest")
+    dcfg.decode.beam_size = 2
+    dcfg.decode.max_len_ratio = 0.5
+    sd = TestSolver(dcfg, make_paras(tmp_path, name="de"), "test")
+    sd.load_data()
+    sd.set_model()
+    er = sd.exec()
+    assert os.path.exists(os.path.join(sd.outdir, "output.csv"))
+    assert os.path.exists(os.path.join(sd.outdir, "beam.csv"))
+    with open(os.path.join(sd.outdir, "output.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1 + 4  # header + dev utts
+    assert 0.0 <= er <= 3.0
