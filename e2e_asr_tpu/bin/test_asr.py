@@ -12,7 +12,6 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +24,6 @@ from e2e_asr_tpu.models import asr as asr_mod
 from e2e_asr_tpu.models import lm as lm_mod
 from e2e_asr_tpu.ops.frontend import compute_features
 from e2e_asr_tpu.solver import BaseSolver
-from e2e_asr_tpu.utils.metrics import cal_er
-from e2e_asr_tpu.utils.misc import human_format
 
 
 class Solver(BaseSolver):

@@ -16,7 +16,7 @@ Differences from the reference, by design (TPU-first):
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import numpy as np
 
 from e2e_asr_tpu.config import Config
 from e2e_asr_tpu.data.dataset import load_dataset
-from e2e_asr_tpu.decode.greedy import ctc_greedy_decode, greedy_decode
+from e2e_asr_tpu.decode.greedy import greedy_decode
 from e2e_asr_tpu.models import asr as asr_mod
 from e2e_asr_tpu.optim import build_optimizer
 from e2e_asr_tpu.ops.frontend import compute_features

@@ -5,7 +5,6 @@ Text-only batches -> next-token CE -> perplexity logging -> best_ppl ckpt.
 
 from __future__ import annotations
 
-import time
 from typing import Dict
 
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import re
 from collections import Counter
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Sequence
 
 SOS_ID = 0  # also pad and CTC blank (ref: CTCLoss(blank=0), CE(ignore_index=0))
 EOS_ID = 1

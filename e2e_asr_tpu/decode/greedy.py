@@ -7,7 +7,7 @@ src/util.py cal_er). Here both are single jitted scans over the batch.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

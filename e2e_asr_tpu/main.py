@@ -13,7 +13,6 @@ protocol.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -20,8 +20,7 @@ sees fixed shapes, with per-utterance valid lengths carried separately.
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

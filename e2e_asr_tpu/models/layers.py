@@ -14,7 +14,7 @@ init_gate): uniform fan-in init like torch defaults, LSTM forget-gate bias 1.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ export); rows are L2-normalized once at init for the cosine objective.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

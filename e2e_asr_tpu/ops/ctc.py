@@ -19,9 +19,6 @@ utterances (T < |ext lattice| path requirement) yield +inf unless
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

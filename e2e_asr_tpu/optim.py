@@ -9,7 +9,7 @@ parity) rather than inside the transformation.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import optax
 

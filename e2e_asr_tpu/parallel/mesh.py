@@ -16,7 +16,7 @@ torch.distributed anywhere); scale-out here is first-class and TPU-native:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -17,7 +17,6 @@ import os
 import sys
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 from e2e_asr_tpu.config import Config
