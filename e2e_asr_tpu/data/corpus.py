@@ -78,12 +78,7 @@ def librispeech(
                             trans[uid] = text
             for fn in sorted(files):
                 base, ext = os.path.splitext(fn)
-                if ext not in (".wav", ".npy"):
-                    if ext == ".flac":
-                        raise RuntimeError(
-                            "FLAC decode unavailable in this environment; "
-                            "pre-decode LibriSpeech to .wav or .npy"
-                        )
+                if ext not in (".wav", ".npy", ".flac"):
                     continue
                 if base not in trans:
                     continue
@@ -93,6 +88,16 @@ def librispeech(
                         Utterance(
                             base, lambda p=full: _load_wav(p), trans[base],
                             _wav_samples(full), wav_path=full,
+                        )
+                    )
+                elif ext == ".flac":
+                    # first-party native decoder (csrc/flac.cpp)
+                    from e2e_asr_tpu.native.audio_io import flac_num_samples, read_flac
+
+                    utts.append(
+                        Utterance(
+                            base, lambda p=full: read_flac(p), trans[base],
+                            flac_num_samples(full),
                         )
                     )
                 else:

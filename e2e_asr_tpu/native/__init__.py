@@ -17,7 +17,8 @@ import threading
 
 _LIB = None
 _LOCK = threading.Lock()
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "native.cpp")
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SRCS = [os.path.join(_CSRC, "native.cpp"), os.path.join(_CSRC, "flac.cpp")]
 _OUT = os.path.join(os.path.dirname(__file__), "libe2e_native.so")
 
 
@@ -26,10 +27,9 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> str:
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        os.path.abspath(_SRC), "-o", _OUT, "-lpthread",
-    ]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC"] + [
+        os.path.abspath(s) for s in _SRCS
+    ] + ["-o", _OUT, "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
     return _OUT
 
@@ -42,9 +42,8 @@ def get_lib() -> ctypes.CDLL:
         if _LIB is not None:
             return _LIB
         try:
-            if not os.path.exists(_OUT) or os.path.getmtime(_OUT) < os.path.getmtime(
-                os.path.abspath(_SRC)
-            ):
+            newest_src = max(os.path.getmtime(os.path.abspath(s)) for s in _SRCS)
+            if not os.path.exists(_OUT) or os.path.getmtime(_OUT) < newest_src:
                 _build()
             lib = ctypes.CDLL(_OUT)
         except Exception as e:  # pragma: no cover
@@ -63,5 +62,11 @@ def get_lib() -> ctypes.CDLL:
         lib.pack_wav_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), i64, f32p, i64, i64p, ctypes.c_int,
         ]
+        lib.flac_num_samples.restype = i64
+        lib.flac_num_samples.argtypes = [ctypes.c_char_p]
+        lib.flac_sample_rate.restype = i64
+        lib.flac_sample_rate.argtypes = [ctypes.c_char_p]
+        lib.flac_decode.restype = i64
+        lib.flac_decode.argtypes = [ctypes.c_char_p, f32p, i64]
         _LIB = lib
         return _LIB

@@ -51,3 +51,26 @@ def pack_batch(paths: List[str], n_samples: int, n_threads: int = 8) -> Tuple[np
         n_threads,
     )
     return out, lens
+
+
+def read_flac(path: str) -> np.ndarray:
+    """Decode FLAC channel 0 to float32 via the native decoder (csrc/flac.cpp)."""
+    lib = get_lib()
+    n = lib.flac_num_samples(path.encode())
+    if n < 0:
+        raise IOError(f"cannot parse flac: {path}")
+    if n == 0:
+        n = 1 << 26  # STREAMINFO total unknown: generous cap
+    out = np.empty(n, np.float32)
+    got = lib.flac_decode(path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    if got < 0:
+        raise IOError(f"flac decode failed: {path}")
+    return out[:got]
+
+
+def flac_num_samples(path: str) -> int:
+    lib = get_lib()
+    n = lib.flac_num_samples(path.encode())
+    if n < 0:
+        raise IOError(f"cannot parse flac: {path}")
+    return int(n)
