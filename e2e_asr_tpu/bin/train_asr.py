@@ -156,7 +156,7 @@ class Solver(BaseSolver):
         """ref: Solver.validate — dev losses + greedy WER/CER, best ckpts."""
         cfg = self.config
         metrics_acc: Dict[str, list] = {}
-        er_att, er_ctc, n_batches = [], [], 0
+        er_att, er_att2, er_ctc, n_batches = [], [], [], 0
         sample_logged = False
         for batch in self.dv_set.epoch(0):
             dbatch = self._put(batch)
@@ -174,6 +174,9 @@ class Solver(BaseSolver):
                 toks = np.asarray(toks)[: len(text)]
                 er_att.append(
                     cal_er(self.tokenizer, toks[valid], text[valid], mode=self._er_mode())
+                )
+                er_att2.append(
+                    cal_er(self.tokenizer, toks[valid], text[valid], mode=self._er_mode(alt=True))
                 )
                 if not sample_logged:
                     i = int(np.argmax(valid))
@@ -200,6 +203,8 @@ class Solver(BaseSolver):
         summary = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
         if er_att:
             summary["dev_er_att"] = float(np.mean(er_att))
+            # reference logs both WER and CER curves
+            summary[f"dev_{self._er_mode(alt=True)}_att"] = float(np.mean(er_att2))
         if er_ctc:
             summary["dev_er_ctc"] = float(np.mean(er_ctc))
         self.progress("DEV " + " | ".join(f"{k} {v:.3f}" for k, v in summary.items()))
@@ -212,5 +217,8 @@ class Solver(BaseSolver):
                     self.save_checkpoint(f"best_{head}", key, summary[key], self.state)
         self.save_checkpoint("latest", "step", float(self.step), self.state)
 
-    def _er_mode(self) -> str:
-        return "cer" if self.tokenizer.token_type == "character" else "wer"
+    def _er_mode(self, alt: bool = False) -> str:
+        primary = "cer" if self.tokenizer.token_type == "character" else "wer"
+        if alt:
+            return "wer" if primary == "cer" else "cer"
+        return primary
