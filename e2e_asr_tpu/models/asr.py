@@ -170,8 +170,15 @@ def forward(
         new_carry = new_carry._replace(prev_tok=pred.astype(jnp.int32))
         return new_carry, (logits, align, hidden)
 
+    # unroll=16: lets XLA fuse consecutive steps' gradient accumulations into
+    # the encoder-memory grads (dk/dv are [B,S,*] read-modify-writes per step
+    # in the scan transpose — the single largest HBM cost of the whole train
+    # step at B=128). Measured 237 -> 210 ms/step (unroll 8: 218, 32: 222).
     _, (att_logits, aligns, hiddens) = jax.lax.scan(
-        body, carry0, (jnp.moveaxis(teacher_in, 0, 1), coins, step_rngs)
+        body,
+        carry0,
+        (jnp.moveaxis(teacher_in, 0, 1), coins, step_rngs),
+        unroll=min(16, decode_step),
     )
     out["att_logits"] = jnp.moveaxis(att_logits, 0, 1)  # [B, L, V]
     out["align"] = jnp.moveaxis(aligns, 0, 1)  # [B, L, H, S]
