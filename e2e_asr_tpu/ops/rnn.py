@@ -73,6 +73,16 @@ def _masked_scan(cell_step, xw: jnp.ndarray, mask: jnp.ndarray, state0, unroll: 
     return ys, final
 
 
+def _use_pallas(impl: str, cell: str) -> bool:
+    """Dispatch rule for the fused Pallas recurrence (ops/rnn_pallas.py):
+    'pallas' forces it (interpret mode off-TPU, for parity tests), 'scan'
+    forces the lax.scan path, 'auto' uses the kernel on real TPU for LSTM
+    (GRU stays scan — not the reference's encoder hot path)."""
+    if impl == "pallas":
+        return cell == "lstm"
+    return impl == "auto" and cell == "lstm" and jax.default_backend() == "tpu"
+
+
 def lstm(
     x: jnp.ndarray,
     x_len: jnp.ndarray,
@@ -81,7 +91,10 @@ def lstm(
     h0: Optional[jnp.ndarray] = None,
     c0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """[B, T, D] -> [B, T, H]; returns (outputs, (h_T, c_T))."""
+    """[B, T, D] -> [B, T, H]; returns (outputs, (h_T, c_T)).
+
+    Stays on the scan path (callers need the final carry, which the fused
+    kernel does not emit); the encoder hot loop is `bidir` below."""
     b, t, _ = x.shape
     hdim = w.wh.shape[0]
     compute_dtype = x.dtype
@@ -113,6 +126,7 @@ def bidir(
     w_fwd: LSTMWeights,
     w_bwd: LSTMWeights,
     cell: str = "lstm",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Bidirectional recurrence in ONE scan: the reversed stream rides the
     batch axis, so the sequential loop runs T steps total (not 2T) and the
@@ -134,6 +148,14 @@ def bidir(
     xw = jnp.concatenate([xw_f, xw_b], axis=1)  # [T, 2B, GH]
     mask2 = jnp.concatenate([mask, jnp.flip(mask, axis=0)], axis=1)  # [T, 2B]
     wh = jnp.stack([w_fwd.wh, w_bwd.wh]).astype(dt)  # [2, H, GH]
+
+    if _use_pallas(impl, cell):
+        from e2e_asr_tpu.ops import rnn_pallas
+
+        ys = rnn_pallas.lstm_seq(xw, mask2.astype(jnp.float32), wh)
+        y_f = jnp.moveaxis(ys[:, :b], 0, 1)
+        y_b = jnp.moveaxis(jnp.flip(ys[:, b:], axis=0), 0, 1)
+        return jnp.concatenate([y_f, y_b], axis=-1)
 
     is_lstm = cell == "lstm"
     h = jnp.zeros((2 * b, hdim), dt)

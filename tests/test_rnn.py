@@ -119,3 +119,68 @@ def test_bidir_gru_matches_two_scans():
     b2, _ = gru(jnp.asarray(x), lens, wb, reverse=True)
     gold = jnp.concatenate([f, b2], axis=-1)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(gold), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas recurrence (ops/rnn_pallas.py) vs the lax.scan path
+# ---------------------------------------------------------------------------
+
+def _rand_w(rng, d, h):
+    return LSTMWeights(
+        jnp.asarray(rng.randn(d, 4 * h).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(h, 4 * h).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(4 * h).astype(np.float32) * 0.2),
+    )
+
+
+def test_bidir_pallas_matches_scan():
+    """Forward parity on uneven lengths + T not a multiple of the block."""
+    from e2e_asr_tpu.ops.rnn import bidir
+
+    rng = np.random.RandomState(7)
+    b_, t, d, h = 3, 13, 6, 8  # t=13 exercises the TS padding path
+    x = jnp.asarray(rng.randn(b_, t, d).astype(np.float32))
+    lens = jnp.asarray([13, 9, 4])
+    wf, wb = _rand_w(rng, d, h), _rand_w(rng, d, h)
+    gold = bidir(x, lens, wf, wb, cell="lstm", impl="scan")
+    got = bidir(x, lens, wf, wb, cell="lstm", impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(gold), rtol=1e-5, atol=1e-5)
+
+
+def test_bidir_pallas_grads_match_scan():
+    """Gradients (dx, dWx, dWh, db for both directions) vs autodiff on scan."""
+    from e2e_asr_tpu.ops.rnn import bidir
+
+    rng = np.random.RandomState(8)
+    b_, t, d, h = 2, 11, 5, 8
+    x = jnp.asarray(rng.randn(b_, t, d).astype(np.float32))
+    lens = jnp.asarray([11, 6])
+    wf, wb = _rand_w(rng, d, h), _rand_w(rng, d, h)
+    # weight the loss so every (t, b, h) position matters differently
+    wloss = jnp.asarray(rng.randn(b_, t, 2 * h).astype(np.float32))
+
+    def loss(impl, x, wf, wb):
+        y = bidir(x, lens, wf, wb, cell="lstm", impl=impl)
+        return jnp.sum(y * wloss)
+
+    g_gold = jax.grad(lambda *a: loss("scan", *a), argnums=(0, 1, 2))(x, wf, wb)
+    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(x, wf, wb)
+    for gg, gp in zip(jax.tree.leaves(g_gold), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), rtol=1e-4, atol=1e-4)
+
+
+def test_bidir_pallas_padding_invariance():
+    """Corrupting padded frames must not change valid outputs or grads."""
+    from e2e_asr_tpu.ops.rnn import bidir
+
+    rng = np.random.RandomState(9)
+    b_, t, d, h = 2, 10, 4, 8
+    x = rng.randn(b_, t, d).astype(np.float32)
+    lens = jnp.asarray([6, 10])
+    wf, wb = _rand_w(rng, d, h), _rand_w(rng, d, h)
+    y1 = bidir(jnp.asarray(x), lens, wf, wb, impl="pallas")
+    x2 = x.copy()
+    x2[0, 6:] = 77.0
+    y2 = bidir(jnp.asarray(x2), lens, wf, wb, impl="pallas")
+    np.testing.assert_allclose(np.asarray(y1[0, :6]), np.asarray(y2[0, :6]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1[0, 6:]), 0.0)
