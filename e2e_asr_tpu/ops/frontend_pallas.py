@@ -54,7 +54,24 @@ def fused_bases(
     return (a.T @ wc).astype(np.float32), (a.T @ ws).astype(np.float32)
 
 
-def _kernel(wav_ref, wc_ref, ws_ref, fb_ref, out_ref, span_ref, sem, *, tb, win, shift, k):
+def _dot3(x: jnp.ndarray, w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
+    """f32-accurate matmul in 3 bf16 MXU passes (vs 6 for Precision.HIGHEST).
+
+    x and w are split into leading/residual bf16 parts (~16 mantissa bits
+    combined); the x_lo @ w_lo cross term (~2^-32 relative) is dropped. The
+    weight split is precomputed host-side; x splits on the VPU here.
+    """
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return (
+        jnp.dot(x_hi, w_hi, preferred_element_type=f32)
+        + jnp.dot(x_hi, w_lo, preferred_element_type=f32)
+        + jnp.dot(x_lo, w_hi, preferred_element_type=f32)
+    )
+
+
+def _kernel(wav_ref, wc_ref, wcl_ref, ws_ref, wsl_ref, fb_ref, out_ref, span_ref, sem, *, tb, win, shift, k):
     b = pl.program_id(0)
     j = pl.program_id(1)
     # One aligned DMA of tb+8 chunks (start j*tb and size are sublane-aligned;
@@ -70,11 +87,14 @@ def _kernel(wav_ref, wc_ref, ws_ref, fb_ref, out_ref, span_ref, sem, *, tb, win,
         for i in range(k)
     ]
     frames = jnp.concatenate(parts, axis=1)
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.dot(frames, wc_ref[:], preferred_element_type=jnp.float32, precision=hi)
-    im = jnp.dot(frames, ws_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    re = _dot3(frames, wc_ref[:], wcl_ref[:])
+    im = _dot3(frames, ws_ref[:], wsl_ref[:])
     power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    # mel matmul is tiny (K=F, N=n_mels) — full HIGHEST precision
+    mel = jnp.dot(
+        power, fb_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out_ref[0] = jnp.log(jnp.maximum(mel, _LOG_FLOOR))
 
 
@@ -119,15 +139,21 @@ def log_mel_pallas(
     ws_p[rows] = ws
     wc, ws = wc_p, ws_p
 
+    # host-side bf16 hi/lo split of the DFT bases (see _dot3)
+    wc_hi = wc.astype(np.float32).astype(jnp.bfloat16)
+    wc_lo = (wc - np.asarray(wc_hi, np.float32)).astype(jnp.bfloat16)
+    ws_hi = ws.astype(np.float32).astype(jnp.bfloat16)
+    ws_lo = (ws - np.asarray(ws_hi, np.float32)).astype(jnp.bfloat16)
+
     nfreq = wc.shape[1]
     nmel = fb.shape[1]
+    wspec = pl.BlockSpec((k * cpad, nfreq), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, tb=tb, win=win, shift=shift, k=k),
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # raw audio stays in HBM
-            pl.BlockSpec((k * cpad, nfreq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * cpad, nfreq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec,
             pl.BlockSpec((nfreq, nmel), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tb, nmel), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -137,5 +163,10 @@ def log_mel_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(wav.astype(jnp.float32), jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(fb))
+    )(
+        wav.astype(jnp.float32),
+        jnp.asarray(wc_hi), jnp.asarray(wc_lo),
+        jnp.asarray(ws_hi), jnp.asarray(ws_lo),
+        jnp.asarray(fb),
+    )
     return out[:, :t]
