@@ -148,7 +148,11 @@ def synthetic(
                 seg = max(1, n // max(len(words), 1))
                 tt = np.arange(n) / sample_rate
                 for j, w in enumerate(words):
-                    f0 = 200.0 + 37.0 * (hash(w) % 40)
+                    # one unique, process-independent tone per word (builtin
+                    # `hash` is salted per process => train/decode in separate
+                    # processes would disagree on the audio; and modulo
+                    # collisions made distinct words acoustically identical)
+                    f0 = 200.0 + 15.0 * _SYNTH_WORDS.index(w)
                     s, e = j * seg, min(n, (j + 1) * seg)
                     x[s:e] += 0.3 * np.sin(2 * np.pi * f0 * tt[s:e]).astype(np.float32)
                     x[s:e] += 0.15 * np.sin(4 * np.pi * f0 * tt[s:e]).astype(np.float32)

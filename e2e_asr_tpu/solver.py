@@ -17,6 +17,7 @@ import os
 import sys
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 
 from e2e_asr_tpu.config import Config
@@ -108,6 +109,11 @@ class BaseSolver:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        # D2H on the calling thread: orbax's serialization thread otherwise
+        # issues device slice ops (and fresh XLA:CPU compiles) mid-save,
+        # which segfaults under load in this jaxlib; handing it host arrays
+        # keeps the async part pure file IO.
+        payload = jax.device_get(payload)
         ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
         if block:
             ckptr.wait_until_finished()
