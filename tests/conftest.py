@@ -19,3 +19,18 @@ if not os.environ.get("E2E_ASR_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
 else:  # pragma: no cover
     import jax  # noqa: F401
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of XLA:CPU (LLVM-JIT) executables;
+    past ~90 tests the next compile aborts/segfaults inside
+    backend_compile_and_load in this jaxlib. Releasing the in-memory cache
+    between modules keeps the JIT state bounded (within-module caching, the
+    part that matters for speed, is unaffected)."""
+    yield
+    jax.clear_caches()
