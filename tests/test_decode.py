@@ -75,6 +75,49 @@ def test_prefix_scores_vs_bruteforce():
     )
 
 
+def test_prefix_scores_impls_agree():
+    """All prefix-scorer implementations (pallas kernel, closed form,
+    literal scan) agree at realistic lattice sizes / magnitudes
+    (log-prob sums reach -1e2..-1e3)."""
+    rng = np.random.RandomState(7)
+    b, w, k, t, v = 2, 3, 4, 97, 12
+    # peaked distributions like a trained CTC head (blank-dominant)
+    logits = rng.randn(b, t, v).astype(np.float32) * 3.0
+    logits[:, :, 0] += 2.0
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    enc_len = jnp.asarray([t, t - 31])
+
+    # parent forward variables: evolve real prefixes from the empty one
+    r_g = ctc_prefix.init_empty_prefix(lp, enc_len, beam=w)
+    last = jnp.zeros((b, w), jnp.int32)
+    cand0 = jnp.asarray(rng.randint(1, v, (b, w, k)), jnp.int32)
+    args = (lp, enc_len, r_g, last, cand0, True)
+    psi_s, rh_s = ctc_prefix.prefix_scores_scan(*args)
+    for impl in ("pallas", "closed_form"):
+        psi_p, rh_p = ctc_prefix.prefix_scores(*args, impl=impl)
+        np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_s), rtol=1e-5, atol=2e-3)
+        fin = np.asarray(rh_s) > -1e20  # compare only reachable lattice cells
+        np.testing.assert_allclose(
+            np.asarray(rh_p)[fin], np.asarray(rh_s)[fin], rtol=1e-5, atol=2e-3
+        )
+
+    # non-empty prefixes: take candidate 0's forward vars as the new parents
+    r_g1 = rh_p[:, :, 0]
+    last1 = cand0[:, :, 0]
+    cand1 = jnp.asarray(rng.randint(1, v, (b, w, k)), jnp.int32)
+    cand1 = cand1.at[:, :, 1].set(last1)  # exercise the `match` branch
+    psi_s, rh_s = ctc_prefix.prefix_scores_scan(lp, enc_len, r_g1, last1, cand1, False)
+    for impl in ("pallas", "closed_form"):
+        psi_p, rh_p = ctc_prefix.prefix_scores(
+            lp, enc_len, r_g1, last1, cand1, False, impl=impl
+        )
+        np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_s), rtol=1e-5, atol=2e-3)
+        fin = np.asarray(rh_s) > -1e20
+        np.testing.assert_allclose(
+            np.asarray(rh_p)[fin], np.asarray(rh_s)[fin], rtol=1e-5, atol=2e-3
+        )
+
+
 def test_prefix_scores_length_masked():
     """Frames past enc_len must not contribute."""
     rng = np.random.RandomState(1)
