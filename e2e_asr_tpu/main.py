@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    # reference parity flags with TPU-native semantics:
+    #   --amp       (ref: torch.cuda.amp)   -> bfloat16 compute dtype
+    #   --pure-f32  (inverse)               -> float32 compute dtype
+    # (ref --cudnn-ctc picks the cuDNN CTC kernel; here ops/ctc.py impl="auto"
+    #  already selects the Pallas lattice kernel on TPU. ref --no-pin is CUDA
+    #  pinned-memory plumbing with no TPU analogue.)
+    p.add_argument("--amp", action="store_true", help="force bfloat16 compute dtype")
+    p.add_argument("--pure-f32", action="store_true", help="force float32 compute dtype")
     return p
 
 
@@ -61,6 +69,10 @@ def main(argv=None):
 
     config = Config.load(paras.config)
     config.hparas.seed = paras.seed
+    if paras.amp:
+        config.hparas.dtype = "bfloat16"
+    if paras.pure_f32:
+        config.hparas.dtype = "float32"
 
     if paras.lm:
         assert not paras.test, "LM evaluation is part of --lm training logs"

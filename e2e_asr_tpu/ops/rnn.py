@@ -75,10 +75,10 @@ def _masked_scan(cell_step, xw: jnp.ndarray, mask: jnp.ndarray, state0, unroll: 
 
 def _use_pallas(impl: str, cell: str) -> bool:
     """Dispatch rule for the fused Pallas recurrence (ops/rnn_pallas.py):
-    'pallas' forces it (interpret mode off-TPU, for parity tests), 'scan'
-    forces the lax.scan path, 'auto' uses the kernel on real TPU for LSTM
-    (GRU stays scan — not the reference's encoder hot path)."""
-    if impl == "pallas":
+    'pallas'/'pallas_xw' force it (interpret mode off-TPU, for parity
+    tests), 'scan' forces the lax.scan path, 'auto' uses the kernel on real
+    TPU for LSTM (GRU stays scan — not the reference's encoder hot path)."""
+    if impl in ("pallas", "pallas_xw"):
         return cell == "lstm"
     return impl == "auto" and cell == "lstm" and jax.default_backend() == "tpu"
 
@@ -139,15 +139,32 @@ def bidir(
     b, t, _ = x.shape
     hdim = w_fwd.wh.shape[0]
     dt = x.dtype
-    xw_f = x @ w_fwd.wx.astype(dt) + w_fwd.b.astype(dt)  # [B, T, GH]
-    xw_b = x @ w_bwd.wx.astype(dt) + w_bwd.b.astype(dt)
     tidx = jnp.arange(t)
     mask = tidx[:, None] < x_len[None, :]  # [T, B]
+    wh = jnp.stack([w_fwd.wh, w_bwd.wh]).astype(dt)  # [2, H, GH]
+
+    if _use_pallas(impl, cell) and impl != "pallas_xw":
+        # v2 fused-projection kernel: x@Wx runs inside the kernel
+        # (block-batched MXU matmuls); xw is never materialized in HBM —
+        # on this chip's measured ~85 GB/s that write+read dominated the
+        # whole layer (see rnn_pallas.py).
+        from e2e_asr_tpu.ops import rnn_pallas
+
+        wx = jnp.stack([w_fwd.wx, w_bwd.wx]).astype(dt)  # [2, D, GH]
+        bias = jnp.stack([w_fwd.b, w_bwd.b]).astype(dt)  # [2, GH]
+        x_tm = jnp.moveaxis(x, 0, 1)  # [T, B, D]
+        ys = rnn_pallas.lstm_seq_fused(x_tm, mask.astype(jnp.float32), wx, wh, bias)
+        # ys is [T_pad, 2B, H]; backward rows are in kernel time
+        y_f = jnp.moveaxis(ys[:t, :b], 0, 1)
+        y_b = jnp.moveaxis(jnp.flip(ys[:, b:], axis=0)[:t], 0, 1)
+        return jnp.concatenate([y_f, y_b], axis=-1)
+
+    xw_f = x @ w_fwd.wx.astype(dt) + w_fwd.b.astype(dt)  # [B, T, GH]
+    xw_b = x @ w_bwd.wx.astype(dt) + w_bwd.b.astype(dt)
     xw_f = jnp.moveaxis(xw_f, 0, 1)
     xw_b = jnp.flip(jnp.moveaxis(xw_b, 0, 1), axis=0)
     xw = jnp.concatenate([xw_f, xw_b], axis=1)  # [T, 2B, GH]
     mask2 = jnp.concatenate([mask, jnp.flip(mask, axis=0)], axis=1)  # [T, 2B]
-    wh = jnp.stack([w_fwd.wh, w_bwd.wh]).astype(dt)  # [2, H, GH]
 
     if _use_pallas(impl, cell):
         from e2e_asr_tpu.ops import rnn_pallas

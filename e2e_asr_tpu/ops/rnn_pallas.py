@@ -246,6 +246,399 @@ def _lstm_seq_bwd_call(xw, mask, wh, ys, c_out, dy):
     return dxw[:t], dwh
 
 
+# ===========================================================================
+# v2: fused-projection bidirectional LSTM (the input projection x@Wx runs
+# INSIDE the kernel, block-batched on the MXU).
+#
+# Motivation (measured on this chip — see BASELINE.md): effective HBM
+# bandwidth is ~85 GB/s read / ~54 GB/s write, and the v1 pipeline
+# (XLA matmul materializes xw [T, 2B, 4H] = 273 MB/layer, the kernel
+# streams it back in) is ~100% HBM-bound: writing + re-reading xw costs
+# more than every FLOP in the layer. v2 streams x itself (68 MB, read
+# twice: once per direction through a time-reversed index map), projects
+# each TS-step block through one [TS*B, D]x[D, 4H] MXU matmul into VMEM
+# scratch, and never materializes xw in HBM. The backward kernel likewise
+# computes dx / dWx / db in-block instead of emitting dxw for outer
+# autodiff, and rebuilds c from per-block checkpoints (c_out is no longer
+# streamed at all) with gate activations cached in VMEM across the
+# two in-block sweeps.
+# ===========================================================================
+
+TS_FUSED = 8
+
+
+def _cell_f32(xw_cat, h, c, wh, d_dirs, b_rows, h_dim):
+    gates = xw_cat + _hidden_matmul(h, wh, d_dirs, b_rows)
+    i = jax.nn.sigmoid(gates[:, :h_dim])
+    f = jax.nn.sigmoid(gates[:, h_dim : 2 * h_dim])
+    g = jnp.tanh(gates[:, 2 * h_dim : 3 * h_dim])
+    o = jax.nn.sigmoid(gates[:, 3 * h_dim :])
+    c2 = f * c.astype(jnp.float32) + i * g
+    h2 = o * jnp.tanh(c2)
+    return i, f, g, o, c2, h2
+
+
+def _fused_fwd_kernel(
+    xf_ref, xr_ref, mf_ref, mr_ref, wx_ref, b_ref, wh_ref,
+    ys_ref, cck_ref, h_scr, c_scr, xwf_scr, xwr_scr, *, ts, b_rows, h_dim,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    cck_ref[0] = c_scr[:]  # carry at block entry (bwd recompute seed)
+
+    d = xf_ref.shape[-1]
+    wx = wx_ref[:]
+    b = b_ref[:].astype(jnp.float32)
+    # block-batched input projections (the big MXU matmuls)
+    xwf_scr[:] = (
+        jax.lax.dot_general(
+            xf_ref[:].reshape(ts * b_rows, d), wx[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b[0][None]
+    ).reshape(ts, b_rows, -1).astype(xwf_scr.dtype)
+    xwr_scr[:] = (
+        jax.lax.dot_general(
+            xr_ref[:].reshape(ts * b_rows, d), wx[1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b[1][None]
+    ).reshape(ts, b_rows, -1).astype(xwr_scr.dtype)
+
+    wh = wh_ref[:]
+    for j in range(ts):
+        # reversed-direction stream: block (nb-1-i) flipped within the block
+        xw_cat = jnp.concatenate(
+            [xwf_scr[j], xwr_scr[ts - 1 - j]], axis=0
+        ).astype(jnp.float32)
+        h, c = h_scr[:], c_scr[:]
+        _, _, _, _, c2, h2 = _cell_f32(xw_cat, h, c, wh, 2, b_rows, h_dim)
+        m = jnp.concatenate([mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0) > 0
+        h_new = jnp.where(m, h2.astype(h.dtype), h)
+        c_new = jnp.where(m, c2.astype(c.dtype), c)
+        h_scr[:] = h_new
+        c_scr[:] = c_new
+        ys_ref[j] = jnp.where(m, h2, 0.0).astype(ys_ref.dtype)
+
+
+def _fused_bwd_kernel(
+    xf_ref, xr_ref, mf_ref, mr_ref, wx_ref, b_ref, wh_ref,
+    ys_ref, ysp_ref, cck_ref, dy_ref,
+    dxf_ref, dxr_ref, dwx_ref, dwh_ref, db_ref,
+    xwf_scr, xwr_scr, acts_scr, tc_scr, cp_scr, dgf_scr, dgr_scr, dh_scr, dc_scr,
+    *, ts, b_rows, h_dim, nb,
+):
+    ii = pl.program_id(0)  # walks time blocks in REVERSE (i = nb-1-ii)
+
+    @pl.when(ii == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    d = xf_ref.shape[-1]
+    gh = 4 * h_dim
+    wx = wx_ref[:]
+    b = b_ref[:].astype(jnp.float32)
+    wh = wh_ref[:]
+
+    # remat the block's input projections
+    xwf_scr[:] = (
+        jax.lax.dot_general(
+            xf_ref[:].reshape(ts * b_rows, d), wx[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b[0][None]
+    ).reshape(ts, b_rows, -1).astype(xwf_scr.dtype)
+    xwr_scr[:] = (
+        jax.lax.dot_general(
+            xr_ref[:].reshape(ts * b_rows, d), wx[1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b[1][None]
+    ).reshape(ts, b_rows, -1).astype(xwr_scr.dtype)
+
+    # ---- forward in-block sweep: rebuild gate activations + carry entries
+    # h_prev comes from ys (equal to the carry wherever mask=1 under the
+    # zero-init + contiguous-mask contract; masked steps contribute zero
+    # dgates below so their garbage is inert). c rebuilt from the block
+    # checkpoint.
+    def h_prev_at(j):
+        if j == 0:  # block boundary: last row of the previous time block
+            return jnp.where(
+                ii == nb - 1,  # kernel time 0: zero initial state
+                jnp.zeros_like(ysp_ref[ts - 1]),
+                ysp_ref[ts - 1],
+            )
+        return ys_ref[j - 1]
+
+    c = cck_ref[0].astype(jnp.float32)
+    for j in range(ts):
+        h_prev = h_prev_at(j)
+        xw_cat = jnp.concatenate(
+            [xwf_scr[j], xwr_scr[ts - 1 - j]], axis=0
+        ).astype(jnp.float32)
+        i, f, g, o, c2, _ = _cell_f32(xw_cat, h_prev, c, wh, 2, b_rows, h_dim)
+        acts_scr[j] = jnp.concatenate([i, f, g, o], axis=-1).astype(acts_scr.dtype)
+        tc_scr[j] = jnp.tanh(c2).astype(tc_scr.dtype)
+        cp_scr[j] = c.astype(cp_scr.dtype)  # carry BEFORE this step
+        m = jnp.concatenate([mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0)
+        c = jnp.where(m > 0, c2, c)
+
+    # ---- reverse in-block sweep: dgates, dwh, carry cotangents
+    for j in range(ts - 1, -1, -1):
+        acts = acts_scr[j].astype(jnp.float32)
+        i = acts[:, :h_dim]
+        f = acts[:, h_dim : 2 * h_dim]
+        g = acts[:, 2 * h_dim : 3 * h_dim]
+        o = acts[:, 3 * h_dim :]
+        tc = tc_scr[j].astype(jnp.float32)
+        c_prev = cp_scr[j].astype(jnp.float32)
+        m = jnp.concatenate(
+            [mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0
+        ).astype(jnp.float32)
+
+        dh2 = m * (dy_ref[j].astype(jnp.float32) + dh_scr[:])
+        dc2 = m * dc_scr[:] + dh2 * o * (1.0 - tc * tc)
+        dgates = jnp.concatenate(
+            [
+                dc2 * g * i * (1.0 - i),
+                dc2 * c_prev * f * (1.0 - f),
+                dc2 * i * (1.0 - g * g),
+                dh2 * tc * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dgf_scr[j] = dgates[:b_rows].astype(dgf_scr.dtype)
+        dgr_scr[ts - 1 - j] = dgates[b_rows:].astype(dgr_scr.dtype)
+
+        h_prev = h_prev_at(j)
+        dh_parts = []
+        for dd in range(2):
+            rows = slice(dd * b_rows, (dd + 1) * b_rows)
+            dwh_ref[dd] += jax.lax.dot_general(
+                h_prev[rows, :].astype(jnp.float32), dgates[rows, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh_parts.append(
+                jax.lax.dot_general(
+                    dgates[rows, :], wh[dd],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        dh_scr[:] = (1.0 - m) * dh_scr[:] + jnp.concatenate(dh_parts, axis=0)
+        dc_scr[:] = (1.0 - m) * dc_scr[:] + dc2 * f
+
+    # ---- block-batched weight/input grads (big MXU matmuls)
+    dgf = dgf_scr[:].reshape(ts * b_rows, gh)
+    dgr = dgr_scr[:].reshape(ts * b_rows, gh)
+    dxf_ref[:] = jax.lax.dot_general(
+        dgf, wx[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(ts, b_rows, d).astype(dxf_ref.dtype)
+    dxr_ref[:] = jax.lax.dot_general(
+        dgr, wx[1], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(ts, b_rows, d).astype(dxr_ref.dtype)
+    dwx_ref[0] += jax.lax.dot_general(
+        xf_ref[:].reshape(ts * b_rows, d), dgf,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwx_ref[1] += jax.lax.dot_general(
+        xr_ref[:].reshape(ts * b_rows, d), dgr,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[0] += jnp.sum(dgf, axis=0)
+    db_ref[1] += jnp.sum(dgr, axis=0)
+
+
+def _fused_common(x, ts):
+    t, b_rows, d = x.shape
+    t_pad = ((t + ts - 1) // ts) * ts
+    return t, b_rows, d, t_pad, t_pad // ts
+
+
+def _fused_fwd_call(x, mask, wx, wh, b):
+    ts = TS_FUSED
+    t, b_rows, d, t_pad, nb = _fused_common(x, ts)
+    h_dim = wh.shape[1]
+    gh = 4 * h_dim
+    dt = x.dtype
+    r = 2 * b_rows
+    interpret = jax.default_backend() != "tpu"
+    rev3 = lambda i: (nb - 1 - i, 0, 0)
+    rev2 = lambda i: (nb - 1 - i, 0)
+    ys, cck = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, ts=ts, b_rows=b_rows, h_dim=h_dim),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((ts, b_rows, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows, d), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, r, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, r, h_dim), dt),
+            jax.ShapeDtypeStruct((nb, r, h_dim), dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r, h_dim), dt),
+            pltpu.VMEM((r, h_dim), dt),
+            pltpu.VMEM((ts, b_rows, gh), dt),
+            pltpu.VMEM((ts, b_rows, gh), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        interpret=interpret,
+    )(
+        _pad_t(x, t_pad),
+        _pad_t(x, t_pad),
+        _pad_t(mask.astype(jnp.float32), t_pad),
+        _pad_t(mask.astype(jnp.float32), t_pad),
+        wx.astype(dt),
+        b.astype(dt),
+        wh.astype(dt),
+    )
+    return ys, cck
+
+
+def _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy):
+    ts = TS_FUSED
+    t, b_rows, d, t_pad, nb = _fused_common(x, ts)
+    h_dim = wh.shape[1]
+    gh = 4 * h_dim
+    dt = x.dtype
+    r = 2 * b_rows
+    interpret = jax.default_backend() != "tpu"
+    # bwd grid step ii processes time block i = nb-1-ii
+    rev3 = lambda ii: (nb - 1 - ii, 0, 0)
+    rev2 = lambda ii: (nb - 1 - ii, 0)
+    idn3 = lambda ii: (ii, 0, 0)
+    idn2 = lambda ii: (ii, 0)
+    prev3 = lambda ii: (jnp.maximum(nb - 2 - ii, 0), 0, 0)  # block i-1 (clamped)
+    dxf, dxr, dwx, dwh, db = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, ts=ts, b_rows=b_rows, h_dim=h_dim, nb=nb
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((ts, b_rows, d), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows, d), idn3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows), idn2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),  # ys block i
+            pl.BlockSpec((ts, r, h_dim), prev3, memory_space=pltpu.VMEM),  # ys block i-1
+            pl.BlockSpec((1, r, h_dim), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, b_rows, d), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows, d), idn3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, d, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, gh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, b_rows, d), dt),
+            jax.ShapeDtypeStruct((t_pad, b_rows, d), dt),
+            jax.ShapeDtypeStruct((2, d, gh), jnp.float32),
+            jax.ShapeDtypeStruct((2, h_dim, gh), jnp.float32),
+            jax.ShapeDtypeStruct((2, gh), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ts, b_rows, gh), dt),
+            pltpu.VMEM((ts, b_rows, gh), dt),
+            pltpu.VMEM((ts, r, gh), dt),
+            pltpu.VMEM((ts, r, h_dim), dt),
+            pltpu.VMEM((ts, r, h_dim), jnp.float32),
+            pltpu.VMEM((ts, b_rows, gh), dt),
+            pltpu.VMEM((ts, b_rows, gh), dt),
+            pltpu.VMEM((r, h_dim), jnp.float32),
+            pltpu.VMEM((r, h_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        interpret=interpret,
+    )(
+        _pad_t(x, t_pad),
+        _pad_t(x, t_pad),
+        _pad_t(mask.astype(jnp.float32), t_pad),
+        _pad_t(mask.astype(jnp.float32), t_pad),
+        wx.astype(dt),
+        b.astype(dt),
+        wh.astype(dt),
+        ys,
+        ys,
+        cck,
+        dy.astype(dt),
+    )
+    # dxr rows are already in ORIGINAL time order: the reversed stream's
+    # dgates are stored at ts-1-j, undoing the in-block flip, and written
+    # at the identity block index (= the x block the reversed stream read).
+    dx = (dxf.astype(jnp.float32) + dxr.astype(jnp.float32))[:t]
+    return dx, dwx, dwh, db
+
+
+@jax.custom_vjp
+def lstm_seq_fused(
+    x: jnp.ndarray, mask: jnp.ndarray, wx: jnp.ndarray, wh: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Fused-projection bidirectional LSTM time loop.
+
+    x:    [T, B, D] time-major inputs (shared by both directions).
+    mask: [T, B] validity (contiguous prefix-true runs; zero initial state).
+    wx:   [2, D, 4H], wh: [2, H, 4H], b: [2, 4H] — direction 0 forward,
+          direction 1 backward (the kernel streams x a second time through
+          a time-reversed index map).
+    Returns ys [T_pad, 2B, H]: rows [0,B) = forward stream in original
+    time; rows [B,2B) = backward stream in KERNEL time (callers flip over
+    T_pad then slice [:T] — see ops/rnn.py bidir).
+    """
+    ys, _ = _fused_fwd_call(x, mask, wx, wh, b)
+    return ys
+
+
+def _fused_vjp_fwd(x, mask, wx, wh, b):
+    ys, cck = _fused_fwd_call(x, mask, wx, wh, b)
+    return ys, (x, mask, wx, wh, b, ys, cck)
+
+
+def _fused_vjp_bwd(res, dy):
+    x, mask, wx, wh, b, ys, cck = res
+    dx, dwx, dwh, db = _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy)
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(mask, jnp.float32),
+        dwx.astype(wx.dtype),
+        dwh.astype(wh.dtype),
+        db.astype(b.dtype),
+    )
+
+
+lstm_seq_fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
 @jax.custom_vjp
 def lstm_seq(xw: jnp.ndarray, mask: jnp.ndarray, wh: jnp.ndarray) -> jnp.ndarray:
     """Masked multi-direction LSTM time loop as a fused Pallas kernel.

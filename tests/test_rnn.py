@@ -133,8 +133,13 @@ def _rand_w(rng, d, h):
     )
 
 
-def test_bidir_pallas_matches_scan():
-    """Forward parity on uneven lengths + T not a multiple of the block."""
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_xw"])
+def test_bidir_pallas_matches_scan(impl):
+    """Forward parity on uneven lengths + T not a multiple of the block
+    (both the fused-projection v2 kernel and the xw-streaming v1)."""
     from e2e_asr_tpu.ops.rnn import bidir
 
     rng = np.random.RandomState(7)
@@ -143,7 +148,7 @@ def test_bidir_pallas_matches_scan():
     lens = jnp.asarray([13, 9, 4])
     wf, wb = _rand_w(rng, d, h), _rand_w(rng, d, h)
     gold = bidir(x, lens, wf, wb, cell="lstm", impl="scan")
-    got = bidir(x, lens, wf, wb, cell="lstm", impl="pallas")
+    got = bidir(x, lens, wf, wb, cell="lstm", impl=impl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(gold), rtol=1e-5, atol=1e-5)
 
 
@@ -164,9 +169,10 @@ def test_bidir_pallas_grads_match_scan():
         return jnp.sum(y * wloss)
 
     g_gold = jax.grad(lambda *a: loss("scan", *a), argnums=(0, 1, 2))(x, wf, wb)
-    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(x, wf, wb)
-    for gg, gp in zip(jax.tree.leaves(g_gold), jax.tree.leaves(g_pal)):
-        np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), rtol=1e-4, atol=1e-4)
+    for impl in ("pallas", "pallas_xw"):
+        g_pal = jax.grad(lambda *a: loss(impl, *a), argnums=(0, 1, 2))(x, wf, wb)
+        for gg, gp in zip(jax.tree.leaves(g_gold), jax.tree.leaves(g_pal)):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), rtol=1e-4, atol=1e-4)
 
 
 def test_bidir_pallas_padding_invariance():
