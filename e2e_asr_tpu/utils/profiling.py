@@ -16,10 +16,19 @@ from typing import Callable, Dict
 import jax
 import numpy as np
 
-# TPU v5e (1 chip) peak numbers — used for speed-of-light ratios.
+# TPU v5e (1 chip) nominal peak numbers.
 PEAK_BF16_FLOPS = 197e12
 PEAK_F32_FLOPS = 49e12
 PEAK_HBM_GBPS = 819e9
+
+# MEASURED envelope of the chip behind this session's axon tunnel
+# (2026-08-19, on-device microbenchmarks with value-readback timing; see
+# BASELINE.md "Measured hardware envelope"). Far below nominal — use these
+# for speed-of-light ratios or every roofline reads ~10x pessimistic.
+MEASURED_BF16_FLOPS = 77e12
+MEASURED_HBM_READ_GBPS = 84e9
+MEASURED_HBM_WRITE_GBPS = 54e9
+MEASURED_DISPATCH_FLOOR_S = 1.3e-3  # per jitted-call overhead through the tunnel
 
 
 @contextlib.contextmanager
@@ -60,7 +69,8 @@ class Roofline:
     seconds: float
     flops: float = 0.0
     bytes_moved: float = 0.0
-    dtype_peak: float = PEAK_BF16_FLOPS
+    dtype_peak: float = MEASURED_BF16_FLOPS
+    hbm_peak: float = (MEASURED_HBM_READ_GBPS + MEASURED_HBM_WRITE_GBPS) / 2
 
     @property
     def achieved_tflops(self) -> float:
@@ -68,12 +78,12 @@ class Roofline:
 
     @property
     def sol_compute(self) -> float:
-        """Fraction of compute speed-of-light."""
+        """Fraction of compute speed-of-light (measured envelope)."""
         return (self.flops / self.dtype_peak) / self.seconds if self.flops else 0.0
 
     @property
     def sol_memory(self) -> float:
-        return (self.bytes_moved / PEAK_HBM_GBPS) / self.seconds if self.bytes_moved else 0.0
+        return (self.bytes_moved / self.hbm_peak) / self.seconds if self.bytes_moved else 0.0
 
     def report(self) -> str:
         parts = [f"{self.name}: {self.seconds*1e3:.2f} ms"]
