@@ -102,8 +102,11 @@ class Solver(BaseSolver):
             "text_len": batch.text_len,
         }
         b = batch.wav.shape[0]
-        if b % self.dp:
-            d = mesh_mod.pad_batch_to(d, ((b + self.dp - 1) // self.dp) * self.dp)
+        # pad the *process-local* rows to this host's share of the data axis
+        # (single-process: the full axis); masked rows carry len=0
+        local_dp = max(1, self.dp // jax.process_count())
+        if b % local_dp:
+            d = mesh_mod.pad_batch_to(d, ((b + local_dp - 1) // local_dp) * local_dp)
         return mesh_mod.shard_batch(self.mesh, d)
 
     def exec(self):

@@ -43,10 +43,33 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
-    """Place a (host-global) batch with the data-parallel layout."""
+def make_global_batch(mesh: Mesh, local_batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    """Assemble the global data-parallel batch from this process's shard.
+
+    Single-process: a plain `device_put` with the batch sharding (the local
+    batch IS the global batch). Multi-process (`jax.process_count() > 1`):
+    every process holds only its per-host rows (data/dataset.py shards
+    utterances by process_index), and
+    `jax.make_array_from_process_local_data` stitches them into one global
+    jax.Array whose leading axis is sharded over the mesh's 'data' axis —
+    the global shape is local_rows * process_count. Each process's rows land
+    on its own addressable devices, so no cross-host data movement happens
+    here; XLA's gradient all-reduce is the only inter-host traffic.
+    """
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in local_batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in local_batch.items()
+    }
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    """Place a batch with the data-parallel layout (alias of
+    make_global_batch; `batch` is the process-local shard when
+    process_count > 1)."""
+    return make_global_batch(mesh, batch)
 
 
 def pad_batch_to(batch: Dict[str, np.ndarray], b: int) -> Dict[str, np.ndarray]:

@@ -1,0 +1,170 @@
+"""Multi-process data-parallel worker (run as `python -m ...mp_worker`).
+
+Exercises the TRUE multi-host path (SURVEY §2.2 / VERDICT round-1 item 1):
+`jax.distributed.initialize` over a localhost coordinator, N CPU processes
+with 4 virtual devices each, a global ('data','model') mesh spanning all
+processes, and per-process local batches assembled into one global array by
+`parallel.mesh.make_global_batch` (jax.make_array_from_process_local_data).
+
+Each worker computes loss + grads of the flagship-shaped (tiny) joint
+CTC/attention model on its half of a deterministic global batch, then runs
+one full optimizer train step. Process 0 dumps loss and the concatenated
+gradient vector to <outdir>/grads.npz so the launcher (a single-process run
+of the SAME global batch) can assert gradient equivalence — proving the
+multi-host sharding + all-reduce produce the single-host result.
+
+Usage: python -m e2e_asr_tpu.parallel.mp_worker <proc_id> <nproc> <port> <outdir>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _tiny_config():
+    from e2e_asr_tpu.config import Config
+
+    return Config.from_dict(
+        {
+            "data": {"audio": {"feat_dim": 40, "use_pallas": False}},
+            "hparas": {"optimizer": "Adadelta", "dtype": "float32"},
+            "model": {
+                "ctc_weight": 0.5,
+                "encoder": {
+                    "prenet": "vgg",
+                    "dim": [32, 32],
+                    "dropout": [0.0, 0.0],
+                    "layer_norm": [False, False],
+                    "proj": [True, True],
+                    "sample_rate": [1, 1],
+                    "sample_style": "drop",
+                },
+                "attention": {"mode": "location", "dim": 24, "num_head": 1,
+                              "loc_kernel_size": 8, "loc_kernel_num": 4},
+                "decoder": {"dim": 32, "layer": 1},
+            },
+        }
+    )
+
+
+def global_batch(b=8, n=8000, l=12, vocab=16, seed=0):
+    """The deterministic GLOBAL batch every participant derives locally."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    text = np.zeros((b, l), np.int32)
+    text_len = np.zeros((b,), np.int32)
+    for i in range(b):
+        k = l - 4
+        text[i, :k] = rng.randint(3, vocab, size=k)
+        text[i, k] = 1
+        text_len[i] = k + 1
+    wav_len = np.full((b,), n, np.int32)
+    wav_len[1::2] = max(n - 3000, n // 2)
+    return {
+        "wav": (rng.randn(b, n) * 0.1).astype(np.float32),
+        "wav_len": wav_len,
+        "text": text,
+        "text_len": text_len,
+    }
+
+
+def loss_and_grads(cfg, params, batch_arrays):
+    import jax
+
+    from e2e_asr_tpu.training.step import compute_loss
+
+    # the global batch spans non-addressable devices under multi-process:
+    # it must flow in as a jit *argument*, never a closure constant
+    def loss_fn(p, b):
+        loss, _ = compute_loss(
+            p, cfg, b["wav"], b["wav_len"], b["text"], b["text_len"],
+            tf_rate=1.0, rng=jax.random.PRNGKey(1), train=False,
+        )
+        return loss
+
+    return jax.jit(jax.value_and_grad(loss_fn))(params, batch_arrays)
+
+
+def flat_grads(grads):
+    import jax
+    import numpy as np
+
+    leaves = jax.tree.leaves(grads)
+    return np.concatenate(
+        [np.asarray(x.addressable_data(0)).ravel() for x in leaves]
+    )
+
+
+def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
+    # env must be staged before the first backend touch. NOTE: in this
+    # sandbox the axon TPU plugin overrides the JAX_PLATFORMS *env var*;
+    # only the jax.config.update("jax_platforms", ...) route reliably
+    # selects CPU (same workaround as tests/conftest.py).
+    flags = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append("--xla_force_host_platform_device_count=4")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == nproc
+    n_global = jax.device_count()
+
+    from e2e_asr_tpu.models import asr as asr_mod
+    from e2e_asr_tpu.optim import build_optimizer
+    from e2e_asr_tpu.parallel import mesh as mesh_mod
+    from e2e_asr_tpu.training.step import TrainState, make_train_step
+
+    cfg = _tiny_config()
+    vocab = 16
+    mesh = mesh_mod.make_mesh(dp=n_global, mp=1)
+    params, _ = asr_mod.asr_init(jax.random.PRNGKey(0), 40, vocab, cfg.model)
+
+    gbatch = global_batch(b=n_global, vocab=vocab)
+    rows = n_global // nproc
+    local = {k: v[proc_id * rows : (proc_id + 1) * rows] for k, v in gbatch.items()}
+    dbatch = mesh_mod.make_global_batch(mesh, local)
+    for v in dbatch.values():
+        assert v.shape[0] == n_global, v.shape  # global leading axis
+
+    params = jax.device_put(params, mesh_mod.replicated(mesh))
+    loss, grads = loss_and_grads(cfg, params, dbatch)
+    loss_v = float(loss.addressable_data(0))
+
+    # full train step (optimizer + NaN-skip) over the same mesh
+    tx = build_optimizer(cfg.hparas)
+    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+    state = jax.device_put(state, mesh_mod.replicated(mesh))
+    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    state, metrics = step(state, dbatch, jax.random.PRNGKey(0))
+    step_loss = float(metrics["loss"].addressable_data(0))
+    assert np.isfinite(step_loss), step_loss
+
+    if proc_id == 0:
+        np.savez(
+            os.path.join(outdir, "grads.npz"),
+            loss=loss_v,
+            grads=flat_grads(grads),
+            step_loss=step_loss,
+            n_devices=n_global,
+        )
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
