@@ -2,9 +2,10 @@
 
 The reference forks joblib CPU workers to beam-decode one utterance each;
 here decoding is the batched jitted beam search (decode/beam.py) running on
-the accelerator over full buckets. Output parity: writes
-result/<name>/output.csv (best hyp vs truth per utterance) and beam.csv
-(every beam), same columns as the reference.
+the accelerator over DecodeConfig.batch_size batches. Decodes BOTH the dev
+and test splits (ref loads dev/test loaders, bin/test_asr.py:~30); writes
+result/<name>/output_{split}.csv (best hyp vs truth per utterance) and
+beam_{split}.csv (every beam), same columns as the reference.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from e2e_asr_tpu.config import Config
-from e2e_asr_tpu.data.dataset import load_dataset
+from e2e_asr_tpu.data.dataset import load_eval_datasets
 from e2e_asr_tpu.decode.beam import beam_search
 from e2e_asr_tpu.models import asr as asr_mod
 from e2e_asr_tpu.models import lm as lm_mod
@@ -39,8 +40,16 @@ class Solver(BaseSolver):
         assert config.src.ckpt or paras.load, "test mode needs src.ckpt or --load"
 
     def load_data(self):
-        (_, self.dv_set, self.feat_dim, self.vocab_size, self.tokenizer, msg) = load_dataset(
-            self.config.data, num_workers=self.paras.njobs
+        """ref: bin/test_asr.py:~30 — loads BOTH dev and test loaders.
+
+        Decode batching uses DecodeConfig.batch_size (beam memory ~ B*W*T),
+        independent of the training batch size."""
+        (self.eval_sets, self.feat_dim, self.vocab_size, self.tokenizer, msg) = (
+            load_eval_datasets(
+                self.config.data,
+                batch_size=self.config.decode.batch_size,
+                num_workers=self.paras.njobs,
+            )
         )
         self.verbose(msg)
 
@@ -76,9 +85,18 @@ class Solver(BaseSolver):
         self._decode = jax.jit(decode_fn, static_argnums=(4,))
 
     def exec(self):
-        """ref: Solver.exec — decode dev/test set, write output/beam csv."""
+        """ref: Solver.exec — decode every eval split, write per-split csvs.
+
+        Returns {split: error_rate}; the headline metric is the test split's
+        (ref: "LibriSpeech test-clean WER" comes from test_split decoding).
+        """
+        results = {}
+        for split, loader in self.eval_sets.items():
+            results[split] = self._decode_set(split, loader)
+        return results
+
+    def _decode_set(self, split: str, loader) -> float:
         cfg = self.config
-        ds = 1
         from e2e_asr_tpu.models.encoder import total_downsample
 
         ds = total_downsample(cfg.model.encoder)
@@ -86,7 +104,7 @@ class Solver(BaseSolver):
         t0 = time.time()
         audio_sec = 0.0
         n_utt = 0
-        for batch in self.dv_set.epoch(0):
+        for batch in loader.epoch(0):
             max_enc = batch.wav.shape[1] // (
                 int(cfg.data.audio.sample_rate * cfg.data.audio.frame_shift / 1000)
             ) // ds + 1
@@ -113,14 +131,16 @@ class Solver(BaseSolver):
                     rows_beam.append((uid, truth, hyp, float(scores[i, wi])))
                 n_utt += 1
                 audio_sec += float(batch.wav_len[i]) / cfg.data.audio.sample_rate
-            self.progress(f"decoded {n_utt} utts")
+            self.progress(f"[{split}] decoded {n_utt} utts")
 
         os.makedirs(self.outdir, exist_ok=True)
-        with open(os.path.join(self.outdir, "output.csv"), "w", newline="") as f:
+        # per-split csvs (ref writes output.csv/beam.csv for the decoded set;
+        # we decode dev AND test in one run, so the split names the file)
+        with open(os.path.join(self.outdir, f"output_{split}.csv"), "w", newline="") as f:
             wtr = csv.writer(f, delimiter="\t")
             wtr.writerow(["idx", "truth", "prediction"])
             wtr.writerows(rows_out)
-        with open(os.path.join(self.outdir, "beam.csv"), "w", newline="") as f:
+        with open(os.path.join(self.outdir, f"beam_{split}.csv"), "w", newline="") as f:
             wtr = csv.writer(f, delimiter="\t")
             wtr.writerow(["idx", "truth", "prediction", "score"])
             wtr.writerows(rows_beam)
@@ -138,7 +158,7 @@ class Solver(BaseSolver):
             tot += max(len(rr), 1)
         wall = time.time() - t0
         self.verbose(
-            f"Decoded {n_utt} utts | {mode} {err / max(tot,1):.4f} | "
+            f"[{split}] decoded {n_utt} utts | {mode} {err / max(tot,1):.4f} | "
             f"{audio_sec / wall:.1f} audio-s/s | results -> {self.outdir}"
         )
         return err / max(tot, 1)

@@ -353,3 +353,44 @@ def load_dataset(
         f"{len(tr)}/{len(dv)} batches, vocab={tokenizer.vocab_size} ({cfg.text.mode})"
     )
     return tr, dv, cfg.audio.output_dim, tokenizer.vocab_size, tokenizer, msg
+
+
+def load_eval_datasets(
+    cfg: DataConfig,
+    batch_size: Optional[int] = None,
+    num_workers: Optional[int] = None,
+):
+    """Evaluation loaders for BOTH held-out splits (ref: bin/test_asr.py:~30
+    loads dev/test loaders; config data.corpus.dev_split/test_split).
+
+    batch_size overrides the corpus batch size — decode batching is its own
+    knob (DecodeConfig.batch_size): beam memory scales with B*W*T, unlike
+    training. Returns ({split_name: loader}, feat_dim, vocab, tokenizer, msg).
+    The tokenizer is derived from the train split (same derivation as
+    training) unless data.text.vocab_file pins it.
+    """
+    c = cfg.corpus
+    win = int(cfg.audio.sample_rate * cfg.audio.frame_length / 1000)
+    shift = int(cfg.audio.sample_rate * cfg.audio.frame_shift / 1000)
+    tokenizer = build_tokenizer(cfg, corpus_mod.load_corpus(c.name, c.path, c.train_split))
+    bs = c.batch_size if batch_size is None else batch_size
+    nw = c.num_workers if num_workers is None else num_workers
+    loaders: Dict[str, BucketedLoader] = {}
+    parts = []
+    for split_name, splits in (("dev", c.dev_split), ("test", c.test_split)):
+        if not splits:
+            continue
+        utts = corpus_mod.load_corpus(c.name, c.path, splits)
+        ld = BucketedLoader(
+            utts, tokenizer, bs,
+            buckets_frames=c.buckets, token_buckets=c.token_buckets,
+            win=win, shift=shift, half_batch_len=c.half_batch_len,
+            shuffle=False, num_workers=nw,
+        )
+        loaders[split_name] = ld
+        parts.append(f"{split_name}={ld.num_utts} utts/{len(ld)} batches")
+    msg = (
+        f"corpus {c.name} eval: {', '.join(parts)}, B={bs}, "
+        f"vocab={tokenizer.vocab_size} ({cfg.text.mode})"
+    )
+    return loaders, cfg.audio.output_dim, tokenizer.vocab_size, tokenizer, msg
