@@ -115,6 +115,13 @@ class HparasConfig:
     curriculum: int = 0  # steps of length-ascending batches
     grad_clip: float = 5.0
     seed: int = 0
+    # CTC-infeasible utterance policy (label longer than the CTC lattice
+    # allows). 'skip' = reference parity: CTCLoss(zero_infinity=False) makes
+    # the loss inf -> NaN-skip drops the whole step (ref: bin/train_asr.py:~75,
+    # src/solver.py:~backward). 'mask' = drop only the infeasible utterances
+    # from the batch mean and train on the rest (TPU-native alternative;
+    # useful with static buckets where one outlier would stall a step).
+    ctc_infeasible: str = "skip"  # skip | mask
     # TPU-native additions
     dtype: str = "bfloat16"  # compute dtype; params stay f32
     ckpt_step: int = 5000

@@ -90,7 +90,7 @@ def attend_and_step(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeCarry]:
     """Shared single-token decode: embed `tok`, attend with the *current*
     decoder state as query (ref ordering: attention before the RNN step),
-    then advance the speller. Returns (logits, align, new_carry)."""
+    then advance the speller. Returns (logits, align, hidden, new_carry)."""
     emb = L.embed(params["embed"], tok, dtype=mem["k"].dtype)
     query = dec_mod.query_of(carry.dec_state)
     align, ctx = att_mod.step(params["attention"], cfg.attention, query, mem, carry.prev_att)

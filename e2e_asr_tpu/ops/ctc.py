@@ -57,7 +57,7 @@ def ctc_forward_scan(
 
     log_probs: [B, T, V] log-softmax outputs. input_len: [B] valid frames.
     labels: [B, L] (0-padded, 0 is blank so padding is inert). label_len: [B].
-    Returns [B] nll (可 +inf for infeasible alignments).
+    Returns [B] nll (may be +inf for infeasible alignments).
     """
     b, t, _ = log_probs.shape
     ext = extend_labels(labels)  # [B, S]

@@ -203,12 +203,20 @@ def compute_features(
     wav_len: jnp.ndarray,
     cfg: AudioConfig,
     use_pallas: Optional[bool] = None,
+    rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched waveform -> features. [B, N], [B] -> ([B, T, D_out], [B]).
 
     Equivalent of the reference's create_transform pipeline (src/audio.py):
     fbank/mfcc -> optional delta -> optional CMVN -> (T, D) layout, but
     batched, masked, and jit-compiled on device.
+
+    Dither (ref: src/audio.py ExtractAudioFeature -> kaldi fbank `dither`):
+    train-time-only Gaussian noise, applied when cfg.dither > 0 AND an rng is
+    passed (the training step passes one; eval/decode pass none). Divergence
+    from kaldi, documented: noise is added to the *waveform* once rather than
+    to each overlapping frame, and the scale is in normalized waveform units
+    (kaldi dithers int16-scale samples) — use ~1e-5-scale values.
     """
     win = int(cfg.sample_rate * cfg.frame_length / 1000.0)
     shift = int(cfg.sample_rate * cfg.frame_shift / 1000.0)
@@ -217,6 +225,9 @@ def compute_features(
 
     if cfg.feat_type == "raw":
         raise ValueError("feat_type=raw has no frontend")
+
+    if cfg.dither > 0 and rng is not None:
+        wav = wav + cfg.dither * jax.random.normal(rng, wav.shape, jnp.float32)
 
     pallas = cfg.use_pallas if use_pallas is None else use_pallas
     if pallas:

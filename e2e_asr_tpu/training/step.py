@@ -16,7 +16,9 @@ Loss conventions (reference parity):
   (the CTC lattice has no eos; divergence from feeding raw txt documented).
 - joint: ctc_weight * ctc + (1 - ctc_weight) * att  (bin/train_asr.py).
 - NaN/inf loss or grad-norm => the whole update is skipped, optimizer state
-  untouched (ref: src/solver.py backward NaN-grad detect -> skip).
+  untouched (ref: src/solver.py backward NaN-grad detect -> skip). Combined
+  with hparas.ctc_infeasible='skip' this reproduces CTCLoss
+  zero_infinity=False end-to-end; 'mask' instead trains on the feasible rows.
 """
 
 from __future__ import annotations
@@ -56,8 +58,10 @@ def compute_loss(
     train: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     m = cfg.model
-    r_spec, r_fwd = jax.random.split(rng)
-    feat, feat_len = compute_features(wav, wav_len, cfg.data.audio)
+    r_spec, r_dither, r_fwd = jax.random.split(rng, 3)
+    feat, feat_len = compute_features(
+        wav, wav_len, cfg.data.audio, rng=r_dither if train else None
+    )
     if train and m.specaugment.enable:
         feat = specaugment(feat, feat_len, m.specaugment, r_spec)
     feat = feat.astype(_dtype(cfg))
@@ -111,9 +115,16 @@ def compute_loss(
         pos = jnp.arange(text.shape[1])[None, :]
         ctc_labels = jnp.where(pos < ctc_label_len[:, None], text, 0)
         nll = ctc_loss(lp, enc_len, ctc_labels, ctc_label_len, impl="auto")
-        per_utt = jnp.where(
-            valid_utt & jnp.isfinite(nll), nll / jnp.maximum(ctc_label_len, 1), 0.0
-        )
+        # infeasible-utterance policy (hparas.ctc_infeasible):
+        #   'skip' (default, reference parity): inf nll propagates into the
+        #   batch loss; the NaN/inf step guard then drops the whole update —
+        #   torch CTCLoss(zero_infinity=False) -> NaN grads -> skip (ref:
+        #   bin/train_asr.py:~75, src/solver.py:~backward).
+        #   'mask': exclude only non-finite utterances from the mean.
+        keep = valid_utt
+        if cfg.hparas.ctc_infeasible == "mask":
+            keep = keep & jnp.isfinite(nll)
+        per_utt = jnp.where(keep, nll / jnp.maximum(ctc_label_len, 1), 0.0)
         ctc_l = jnp.sum(per_utt) / n_utt
         metrics["ctc_loss"] = ctc_l
         metrics["ctc_preds"] = jnp.argmax(lp, -1)
