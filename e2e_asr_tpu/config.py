@@ -87,7 +87,7 @@ class AudioConfig:
 class TextConfig:
     """ref: src/text.py load_text_encoder."""
 
-    mode: str = "character"  # character | word | subword
+    mode: str = "character"  # character | word | subword | bert
     vocab_file: str = ""
 
 

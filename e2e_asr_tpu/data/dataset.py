@@ -312,6 +312,8 @@ def build_tokenizer(cfg: DataConfig, utts: List[corpus_mod.Utterance]) -> text_m
         return text_mod.WordTextEncoder.from_corpus(texts)
     if mode == "subword":
         return text_mod.SubwordTextEncoder.train(texts, vocab_size=500)
+    if mode == "bert":
+        return text_mod.BertTextEncoder.from_corpus(texts)
     raise ValueError(f"unknown text mode {mode}")
 
 

@@ -256,6 +256,103 @@ class SubwordTextEncoder(TextEncoder):
         return len(self._vocab)
 
 
+_BERT_SPECIALS = {"[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"}
+
+
+class BertTextEncoder(TextEncoder):
+    """WordPiece codec over a BERT-format vocab.txt (ref: src/text.py's
+    optional BERT-tokenizer mode, which wraps huggingface BertTokenizer).
+
+    Dependency-free re-implementation: greedy longest-prefix WordPiece with
+    '##' continuation pieces, loaded from a standard vocab.txt (one token per
+    line; BERT special tokens and [unusedN] slots are dropped and replaced by
+    this framework's reserved ids 0=<sos>/pad/blank, 1=<eos>, 2=<unk> so the
+    CTC/CE conventions hold for every tokenizer mode). Case is normalized to
+    the vocab's dominant case (uncased BERT vocabs are lowercase; ASR
+    transcripts are uppercase).
+    """
+
+    token_type = "bert"
+
+    def __init__(self, vocab_list: Sequence[str]):
+        assert list(vocab_list[:3]) == RESERVED
+        self._vocab = list(vocab_list)
+        self._idx = {t: i for i, t in enumerate(self._vocab)}
+        alpha = [t for t in vocab_list[3:] if t.strip("#").isalpha()]
+        lower = sum(1 for t in alpha if t == t.lower())
+        self._lower = lower >= len(alpha) / 2
+        self._max_piece = max((len(t) for t in self._vocab), default=1)
+
+    @classmethod
+    def load_from_file(cls, vocab_file: str) -> "BertTextEncoder":
+        with open(vocab_file) as f:
+            toks = [ln.rstrip("\n") for ln in f if ln.rstrip("\n")]
+        toks = [
+            t for t in toks
+            if t not in _BERT_SPECIALS and not re.fullmatch(r"\[unused\d+\]", t)
+            and t not in RESERVED
+        ]
+        return cls(RESERVED + toks)
+
+    def _norm(self, text: str) -> str:
+        return text.lower() if self._lower else text.upper()
+
+    def _wordpiece(self, word: str) -> List[str]:
+        pieces: List[str] = []
+        i = 0
+        while i < len(word):
+            end = min(len(word), i + self._max_piece)
+            piece = None
+            while end > i:
+                cand = ("##" if i else "") + word[i:end]
+                if cand in self._idx:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return ["<unk>"]  # whole word -> unk (BERT convention)
+            pieces.append(piece)
+            i = end
+        return pieces
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for w in self._norm(text).split():
+            for piece in self._wordpiece(w):
+                ids.append(self._idx.get(piece, UNK_ID))
+        return ids + [EOS_ID]
+
+    def decode(self, ids: Sequence[int], ignore_repeat: bool = False) -> str:
+        out: List[str] = []
+        for i in self._strip_ids(ids, ignore_repeat):
+            t = self._vocab[i]
+            if t.startswith("##") and out:
+                out[-1] += t[2:]
+            else:
+                out.append(t)
+        return " ".join(out)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._vocab)
+
+    @classmethod
+    def from_corpus(cls, texts: Iterable[str], vocab_size: int = 1000) -> "BertTextEncoder":
+        """Derive a WordPiece vocab from a corpus (chars + frequent words +
+        frequent suffix pieces) — lets the mode run without a pretrained
+        vocab file, e.g. on the synthetic corpus."""
+        counts = Counter(w for t in texts for w in t.upper().split())
+        pieces = {c for w in counts for c in w}
+        pieces |= {"##" + c for c in pieces}
+        for w, _ in counts.most_common(max(0, vocab_size - len(pieces) - 3)):
+            pieces.add(w)
+        return cls(RESERVED + sorted(pieces))
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write("\n".join(self._vocab) + "\n")
+
+
 def load_text_encoder(mode: str, vocab_file: str) -> TextEncoder:
     """ref: src/text.py load_text_encoder(mode, vocab_file) dispatch."""
     if mode == "character":
@@ -264,4 +361,6 @@ def load_text_encoder(mode: str, vocab_file: str) -> TextEncoder:
         return WordTextEncoder.load_from_file(vocab_file)
     if mode == "subword":
         return SubwordTextEncoder.load_from_file(vocab_file)
-    raise ValueError(f"unknown text mode '{mode}' (character|word|subword)")
+    if mode == "bert":
+        return BertTextEncoder.load_from_file(vocab_file)
+    raise ValueError(f"unknown text mode '{mode}' (character|word|subword|bert)")

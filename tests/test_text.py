@@ -78,3 +78,43 @@ def test_ctc_repeat_collapse():
 def test_reserved_ids():
     enc = CharacterTextEncoder.from_corpus(["A"])
     assert enc.pad_idx == 0 and enc.sos_idx == 0 and enc.eos_idx == 1 and enc.unk_idx == 2
+
+
+def test_bert_wordpiece_roundtrip(tmp_path):
+    """BERT-format vocab.txt -> greedy WordPiece with ## continuations
+    (ref: src/text.py optional BERT-tokenizer mode)."""
+    from e2e_asr_tpu.data.text import BertTextEncoder, load_text_encoder
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[unused0]",
+             "the", "quick", "brown", "fox", "jump", "##ed", "##s",
+             "over", "lazy", "dog", "a", "b", "##c"]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    enc = load_text_encoder("bert", str(p))
+    assert isinstance(enc, BertTextEncoder)
+    assert enc.token_type == "bert"
+    # reserved framework ids (0=sos/pad/blank, 1=eos, 2=unk), specials dropped
+    assert enc.pad_idx == 0 and enc.eos_idx == 1 and enc.unk_idx == 2
+    assert enc.vocab_size == 3 + 13
+
+    ids = enc.encode("THE QUICK FOX JUMPED")  # case-normalized to the vocab
+    assert ids[-1] == enc.eos_idx
+    assert enc.decode(ids) == "the quick fox jumped"
+    # continuation pieces: 'jumped' -> 'jump' + '##ed' (2 ids)
+    assert len(ids) == 3 + 2 + 1
+    # OOV word collapses to a single <unk>
+    ids2 = enc.encode("THE ZZZZ FOX")
+    assert ids2.count(enc.unk_idx) == 1
+    # save/load round trip
+    enc.save(str(tmp_path / "v2.txt"))
+    enc2 = load_text_encoder("bert", str(tmp_path / "v2.txt"))
+    assert enc2.encode("THE QUICK FOX JUMPED") == ids
+
+
+def test_bert_from_corpus():
+    from e2e_asr_tpu.data.text import BertTextEncoder
+
+    enc = BertTextEncoder.from_corpus(["THE QUICK FOX", "THE LAZY DOG"])
+    for s in ("THE QUICK FOX", "THE LAZY DOG", "QUX"):
+        ids = enc.encode(s)
+        assert enc.decode(ids) == s  # chars + ## chars cover any word
