@@ -56,8 +56,12 @@ def global_batch(b=8, n=8000, l=12, vocab=16, seed=0):
     text = np.zeros((b, l), np.int32)
     text_len = np.zeros((b,), np.int32)
     for i in range(b):
-        k = l - 4
-        text[i, :k] = rng.randint(3, vocab, size=k)
+        # short, repeat-free labels: every row must be CTC-feasible even at
+        # the shortest wav_len below (7 post-VGG frames), or the default
+        # ctc_infeasible='skip' policy correctly yields an inf loss
+        k = 5
+        syms = rng.permutation(np.arange(3, vocab))[:k]
+        text[i, :k] = syms
         text[i, k] = 1
         text_len[i] = k + 1
     wav_len = np.full((b,), n, np.int32)
@@ -113,6 +117,10 @@ def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # NOTE: do NOT enable the persistent executable cache here — XLA:CPU AOT
+    # entries written by the (non-distributed) test process fail to load in
+    # gloo-distributed workers with a machine-feature mismatch
+    # (+prefer-no-scatter), aborting the run.
 
     import jax.numpy as jnp
     import numpy as np

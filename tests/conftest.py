@@ -17,6 +17,15 @@ if not os.environ.get("E2E_ASR_TPU_TESTS"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent XLA:CPU executable cache: every solver instance re-jits the
+    # same HLO (new closures), and repeat suite runs recompile everything —
+    # both hit this cache instead (measured ~2x suite speedup warm)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 else:  # pragma: no cover
     import jax  # noqa: F401
 

@@ -28,18 +28,39 @@ def make_paras(tmp_path, **kw):
     return types.SimpleNamespace(**d)
 
 
-def asr_config(max_step=6, valid_step=5):
+def asr_config(max_step=6, valid_step=5, full_fat=False):
+    """Solver-test config. Default is deliberately tiny (single bucket, no
+    VGG, dot attention, one BiLSTM layer) — these tests exercise loop
+    mechanics (ckpt/resume/validation/decode csvs), while VGG / location /
+    multi-bucket coverage lives in test_model/test_loc_features/test_dataset.
+    full_fat=True restores the round-1 shape (opt-in via E2E_ASR_FULL)."""
+    if full_fat:
+        corpus = {
+            "train_split": ["train:12"], "dev_split": ["dev:4"],
+            "buckets": [208, 416, 816], "token_buckets": [48, 48, 64],
+        }
+        encoder = {
+            "prenet": "vgg", "dim": [32, 32], "dropout": [0.0, 0.0],
+            "layer_norm": [False, False], "proj": [True, True],
+            "sample_rate": [1, 1], "sample_style": "drop",
+        }
+        attention = {"mode": "location", "dim": 24, "num_head": 1,
+                     "loc_kernel_size": 8, "loc_kernel_num": 4}
+    else:
+        corpus = {
+            "train_split": ["train:16"], "dev_split": ["dev:8"],
+            "buckets": [416], "token_buckets": [48],
+        }
+        encoder = {
+            "prenet": "", "dim": [32], "dropout": [0.0],
+            "layer_norm": [False], "proj": [True],
+            "sample_rate": [2], "sample_style": "drop",
+        }
+        attention = {"mode": "dot", "dim": 24, "num_head": 1}
     return Config.from_dict(
         {
             "data": {
-                "corpus": {
-                    "name": "synthetic",
-                    "train_split": ["train:12"],
-                    "dev_split": ["dev:4"],
-                    "batch_size": 4,
-                    "buckets": [208, 416, 816],
-                    "token_buckets": [48, 48, 64],
-                },
+                "corpus": {"name": "synthetic", "batch_size": 4, **corpus},
                 "audio": {"feat_dim": 40, "use_pallas": False},
                 "text": {"mode": "character"},
             },
@@ -53,17 +74,8 @@ def asr_config(max_step=6, valid_step=5):
             },
             "model": {
                 "ctc_weight": 0.3,
-                "encoder": {
-                    "prenet": "vgg",
-                    "dim": [32, 32],
-                    "dropout": [0.0, 0.0],
-                    "layer_norm": [False, False],
-                    "proj": [True, True],
-                    "sample_rate": [1, 1],
-                    "sample_style": "drop",
-                },
-                "attention": {"mode": "location", "dim": 24, "num_head": 1,
-                              "loc_kernel_size": 8, "loc_kernel_num": 4},
+                "encoder": encoder,
+                "attention": attention,
                 "decoder": {"dim": 32, "layer": 1},
             },
         }
@@ -177,7 +189,7 @@ def test_test_solver_end_to_end(tmp_path):
     st.exec()
 
     dcfg = asr_config()
-    dcfg.data.corpus.test_split = ["test:3"]
+    dcfg.data.corpus.test_split = ["test:6"]  # 3 utts fit the 416 bucket
     dcfg.src.ckpt = os.path.join(st.ckpdir, "latest")
     dcfg.decode.beam_size = 2
     dcfg.decode.max_len_ratio = 0.5
@@ -229,8 +241,8 @@ def test_decode_recipe_yaml_cli(tmp_path):
     train_yaml = tmp_path / "train.yaml"
     cfg.save(train_yaml)
     d["data"]["corpus"].update(
-        train_split=["train:12"], dev_split=["dev:2"], test_split=["test:2"],
-        buckets=[208, 416, 816], token_buckets=[48, 48, 64],
+        train_split=["train:16"], dev_split=["dev:8"], test_split=["test:6"],
+        buckets=[416], token_buckets=[48],
     )
     d["src"] = {"ckpt": os.path.join(st.ckpdir, "latest"), "config": str(train_yaml)}
     d["decode"]["beam_size"] = 2
@@ -248,3 +260,18 @@ def test_decode_recipe_yaml_cli(tmp_path):
     ])
     for split in ("dev", "test"):
         assert os.path.exists(outdir / "yamlrec" / f"output_{split}.csv")
+
+
+@pytest.mark.skipif(not os.environ.get("E2E_ASR_FULL"), reason="opt-in full-fat run (E2E_ASR_FULL=1)")
+def test_train_solver_full_fat(tmp_path):
+    """Round-1 shape (VGG + location + 3 buckets) through the solver loop —
+    opt-in: the default suite covers these components in their own modules."""
+    from e2e_asr_tpu.bin.train_asr import Solver
+
+    cfg = asr_config(full_fat=True)
+    s = Solver(cfg, make_paras(tmp_path, name="ff"), "train")
+    s.load_data()
+    s.set_model()
+    s.exec()
+    assert os.path.exists(os.path.join(s.ckpdir, "latest"))
+    assert os.path.exists(os.path.join(s.ckpdir, "best_att"))
