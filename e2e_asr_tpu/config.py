@@ -164,6 +164,11 @@ class DecoderConfig:
     dim: int = 512
     layer: int = 1
     dropout: float = 0.0
+    # TPU-native: fused Pallas decode-scan kernel (ops/decoder_pallas.py).
+    # 'auto' = kernel on real TPU when the config is supported, scan
+    # otherwise; 'pallas' forces it (interpret mode off-TPU, parity tests);
+    # 'scan' forces the lax.scan path.
+    fused_scan: str = "auto"
 
 
 @dataclass

@@ -133,12 +133,16 @@ def synthetic(
     rng = np.random.RandomState(seed)
     utts: List[Utterance] = []
     for i in range(n_utts):
-        n_words = rng.randint(2, 9)
+        dur = float(rng.uniform(min_sec, max_sec))
+        # word count scales with duration (~1.0-1.6 words/s) like real
+        # speech; an independent draw produced physically impossible
+        # utterances (8 words in 1 s) whose char count exceeded the CTC
+        # lattice length => guaranteed-infeasible rows in every corpus
+        n_words = max(1, int(round(dur * rng.uniform(1.0, 1.6))))
         words = [
             _SYNTH_WORDS[rng.randint(len(_SYNTH_WORDS))] for _ in range(n_words)
         ]
         text = " ".join(words)
-        dur = float(rng.uniform(min_sec, max_sec))
         n = int(dur * sample_rate)
 
         def make(words=tuple(words), n=n, seed=rng.randint(1 << 30)):

@@ -135,12 +135,6 @@ def forward(
         return out
 
     assert teacher is not None, "attention head requires teacher tokens"
-    mem = att_mod.prepare(params["attention"], cfg.attention, enc, enc_len)
-    carry0 = DecodeCarry(
-        dec_state=dec_mod.init_state(b, cfg.decoder, enc.dtype),
-        prev_att=att_mod.init_align(cfg.attention, mem).astype(enc.dtype),
-        prev_tok=jnp.zeros((b,), jnp.int32),  # <sos>
-    )
     # decoder inputs: <sos>, y_0, ..., y_{L-2}
     teacher_in = jnp.concatenate(
         [jnp.zeros((b, 1), teacher.dtype), teacher[:, : decode_step - 1]], axis=1
@@ -148,6 +142,34 @@ def forward(
     step_rngs = jax.random.split(r_scan, decode_step)
     # one teacher-forcing coin per step for the whole batch (ref semantics)
     coins = jax.random.uniform(jax.random.fold_in(r_scan, 1), (decode_step,)) < tf_rate
+
+    # fused Pallas decode-scan kernel: keeps k/v/location-bank VMEM-resident
+    # across all decode steps (ops/decoder_pallas.py); falls back to the
+    # lax.scan below outside the supported flagship configuration
+    from e2e_asr_tpu.ops import decoder_pallas
+
+    fs = getattr(cfg.decoder, "fused_scan", "auto")
+    use_fused = (
+        fs == "pallas"
+        or (fs == "auto" and jax.default_backend() == "tpu")
+    ) and decoder_pallas.supported(cfg, train)
+    if use_fused:
+        att_logits, aligns, hiddens = decoder_pallas.run_decode_scan(
+            params, cfg, enc, enc_len, teacher_in, coins,
+            rng=jax.random.fold_in(r_scan, 2), train=train,
+            sample_decoding=sample_decoding,
+        )
+        out["att_logits"] = att_logits
+        out["align"] = aligns
+        out["att_hidden"] = hiddens
+        return out
+
+    mem = att_mod.prepare(params["attention"], cfg.attention, enc, enc_len)
+    carry0 = DecodeCarry(
+        dec_state=dec_mod.init_state(b, cfg.decoder, enc.dtype),
+        prev_att=att_mod.init_align(cfg.attention, mem).astype(enc.dtype),
+        prev_tok=jnp.zeros((b,), jnp.int32),  # <sos>
+    )
 
     # Rematerialize the per-token step in the backward pass: without this,
     # the scan stacks every step's [B, S, att_dim] additive-attention tanh

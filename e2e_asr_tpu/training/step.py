@@ -121,8 +121,10 @@ def compute_loss(
         #   torch CTCLoss(zero_infinity=False) -> NaN grads -> skip (ref:
         #   bin/train_asr.py:~75, src/solver.py:~backward).
         #   'mask': exclude only non-finite utterances from the mean.
+        # eval always masks (finite dev metrics over the feasible rows);
+        # training follows the configured policy
         keep = valid_utt
-        if cfg.hparas.ctc_infeasible == "mask":
+        if not train or cfg.hparas.ctc_infeasible == "mask":
             keep = keep & jnp.isfinite(nll)
         per_utt = jnp.where(keep, nll / jnp.maximum(ctc_label_len, 1), 0.0)
         ctc_l = jnp.sum(per_utt) / n_utt

@@ -89,6 +89,10 @@ def test_train_solver_runs_and_checkpoints(tmp_path):
     s = Solver(cfg, make_paras(tmp_path), "train")
     s.load_data()
     s.set_model()
+    # a 6-step model's greedy ER can exceed the reference's 3.0 best-metric
+    # init (ref: bin/train_asr.py best_wer=3.0) — raise the bar so the
+    # best-checkpoint save path is exercised deterministically
+    s.best_wer = {"att": 100.0, "ctc": 100.0}
     s.exec()
     assert os.path.exists(os.path.join(s.ckpdir, "latest"))
     assert os.path.exists(os.path.join(s.ckpdir, "best_att"))
@@ -189,7 +193,7 @@ def test_test_solver_end_to_end(tmp_path):
     st.exec()
 
     dcfg = asr_config()
-    dcfg.data.corpus.test_split = ["test:6"]  # 3 utts fit the 416 bucket
+    dcfg.data.corpus.test_split = ["test:6"]  # 4 utts fit the 416 bucket
     dcfg.src.ckpt = os.path.join(st.ckpdir, "latest")
     dcfg.decode.beam_size = 2
     dcfg.decode.max_len_ratio = 0.5
@@ -199,7 +203,7 @@ def test_test_solver_end_to_end(tmp_path):
     sd.set_model()
     ers = sd.exec()
     assert set(ers) == {"dev", "test"}
-    for split, n_utts in (("dev", 4), ("test", 3)):
+    for split, n_utts in (("dev", 5), ("test", 4)):
         assert os.path.exists(os.path.join(sd.outdir, f"beam_{split}.csv"))
         with open(os.path.join(sd.outdir, f"output_{split}.csv")) as f:
             lines = f.read().strip().splitlines()
