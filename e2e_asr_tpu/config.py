@@ -165,9 +165,11 @@ class DecoderConfig:
     layer: int = 1
     dropout: float = 0.0
     # TPU-native: fused Pallas decode-scan kernel (ops/decoder_pallas.py).
-    # 'auto' = kernel on real TPU when the config is supported, scan
-    # otherwise; 'pallas' forces it (interpret mode off-TPU, parity tests);
-    # 'scan' forces the lax.scan path.
+    # 'pallas' enables it (interpret mode off-TPU, parity tests); 'auto'
+    # and 'scan' use the lax.scan path — the kernel is parity-proven but
+    # its flagship-shape Mosaic compile exceeds 20 min through this
+    # environment's remote compile service, so it ships opt-in (see
+    # BASELINE.md "decoder kernel status").
     fused_scan: str = "auto"
 
 

@@ -148,11 +148,13 @@ def forward(
     # lax.scan below outside the supported flagship configuration
     from e2e_asr_tpu.ops import decoder_pallas
 
+    # NOTE: 'auto' currently resolves to the scan: the kernel is
+    # value+grad parity-proven (CPU interpret and real TPU), but Mosaic
+    # compiles of the flagship shape exceed 20 minutes through this
+    # environment's remote compile service — opt in with
+    # decoder.fused_scan='pallas' (see BASELINE.md "decoder kernel status").
     fs = getattr(cfg.decoder, "fused_scan", "auto")
-    use_fused = (
-        fs == "pallas"
-        or (fs == "auto" and jax.default_backend() == "tpu")
-    ) and decoder_pallas.supported(cfg, train)
+    use_fused = (fs == "pallas") and decoder_pallas.supported(cfg, train)
     if use_fused:
         att_logits, aligns, hiddens = decoder_pallas.run_decode_scan(
             params, cfg, enc, enc_len, teacher_in, coins,

@@ -88,7 +88,7 @@ def _fwd_kernel(
     cseq_ref,    # [TL, bB, H]
     ohin_ref,    # [TL, bB, Vp]
     # scratch (persists across time-blocks of one tile)
-    h_scr, c_scr, att_scr, oh_scr,
+    h_scr, c_scr, att_scr, oh_scr, fpre_scr,
     *, kk, h_dim, temp, train, sample, vocab,
 ):
     il = pl.program_id(1)
@@ -111,37 +111,43 @@ def _fwd_kernel(
     vp = embt_ref.shape[0]
     f32 = jnp.float32
 
-    for j in range(TL):
+    def mm(a, bmat, dims=(((1,), (0,)), ((), ()))):
+        return jax.lax.dot_general(
+            a, bmat, dimension_numbers=dims, preferred_element_type=f32
+        )
+
+    # fori_loop over steps AND the K location channels: the bodies are
+    # traced once (a python-unrolled TL*K body made Mosaic compile times
+    # explode — tens of minutes at the flagship shape)
+    def step_body(j, _):
         # --- token selection (scheduled sampling; ref: per-step coin)
         use_teacher = jnp.logical_or(coins_ref[j, 0] > 0, jnp.asarray(not train))
         oh = jnp.where(use_teacher, teach_ref[j].astype(f32), oh_scr[:].astype(f32))
         ohin_ref[j] = oh.astype(ohin_ref.dtype)
-        emb = jax.lax.dot_general(
-            oh, embt_ref[:].astype(f32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # [bB, Emb]
+        emb = mm(oh, embt_ref[:].astype(f32))  # [bB, Emb]
 
         # --- attention (location-aware; ref: src/module.py LocationAware)
         h = h_scr[:].astype(f32)
-        q = (
-            jax.lax.dot_general(
-                h, wq_ref[:].astype(f32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            + bq_ref[0].astype(f32)[None]
-        )  # [bB, Dk]
+        q = mm(h, wq_ref[:].astype(f32)) + bq_ref[0].astype(f32)[None]
         att_prev = att_scr[:].astype(f32)
-        # e = tanh(q + k + f + locb); f = sum_k (att_prev @ locT[k]) * wlp[k]
-        acc = k_ref[:].astype(f32) + q[:, None, :] + locb_ref[0].astype(f32)[None, None]
-        for ki in range(kk):
-            fpre_k = jax.lax.dot_general(
-                att_prev, locT_ref[ki].astype(f32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [bB, S]
-            acc = acc + fpre_k[:, :, None] * wlp_ref[ki].astype(f32)[None, None, :]
+        # e = tanh(q + k + f + locb); f = (att_prev (*) locT) @ wlp — the K
+        # conv channels loop into scratch (dynamic VALUE indexing has no
+        # Mosaic lowering), then one [bB*S, K] x [K, Dk] MXU matmul
+        def loc_body(ki, _):
+            fpre_scr[ki] = mm(att_prev, locT_ref[ki].astype(f32))  # [bB, S]
+            return 0
+
+        jax.lax.fori_loop(0, kk, loc_body, 0)
+        f = mm(
+            fpre_scr[:].reshape(kk, bB * s), wlp_ref[:].astype(f32),
+            (((0,), (0,)), ((), ())),
+        ).reshape(bB, s, -1)
+        acc = (
+            k_ref[:].astype(f32)
+            + q[:, None, :]
+            + locb_ref[0].astype(f32)[None, None]
+            + f
+        )
         e = jnp.tanh(acc)
         energy = jnp.sum(e * locv_ref[0].astype(f32)[None, None, :], axis=-1)  # [bB,S]
         energy = jnp.where(mask, energy, NEG)
@@ -152,16 +158,8 @@ def _fwd_kernel(
         # --- speller LSTM cell (ref: src/asr.py Decoder, 1 layer)
         xin = jnp.concatenate([emb, ctx], axis=-1)
         gates = (
-            jax.lax.dot_general(
-                xin, wx_ref[:].astype(f32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            + jax.lax.dot_general(
-                h, wh_ref[:].astype(f32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+            mm(xin, wx_ref[:].astype(f32))
+            + mm(h, wh_ref[:].astype(f32))
             + bl_ref[0].astype(f32)[None]
         )
         gi = jax.nn.sigmoid(gates[:, :h_dim])
@@ -170,14 +168,7 @@ def _fwd_kernel(
         go = jax.nn.sigmoid(gates[:, 3 * h_dim :])
         c_new = gf * c_scr[:].astype(f32) + gi * gg
         h_new = go * jnp.tanh(c_new)
-        logits = (
-            jax.lax.dot_general(
-                h_new, wout_ref[:].astype(f32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-            + bout_ref[0].astype(f32)[None]
-        )  # [bB, Vp]
+        logits = mm(h_new, wout_ref[:].astype(f32)) + bout_ref[0].astype(f32)[None]
 
         # --- feedback token for scheduled sampling (ref: sample/argmax)
         vmask = jax.lax.broadcasted_iota(jnp.int32, (bB, vp), 1) < vocab
@@ -200,6 +191,9 @@ def _fwd_kernel(
         c_scr[:] = c_new.astype(c_scr.dtype)
         att_scr[:] = align.astype(att_scr.dtype)
         oh_scr[:] = oh_pred.astype(oh_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, TL, step_body, 0)
 
 
 def _fwd_call(k, v, mask, init_align, locT, wq, bq, wlp, locv, locb,
@@ -265,6 +259,7 @@ def _fwd_call(k, v, mask, init_align, locT, wq, bq, wlp, locv, locb,
             pltpu.VMEM((bB, h_dim), dt),
             pltpu.VMEM((bB, s), dt),
             pltpu.VMEM((bB, vp), dt),
+            pltpu.VMEM((kk, bB, s), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(125e6)),
         interpret=interpret,
@@ -311,7 +306,7 @@ def _bwd_kernel(
     dlocv_ref,   # [8, Dk] f32 accumulate (row-sharded partials)
     dlocb_ref,   # [8, Dk] f32
     # scratch carries
-    dh_scr, dc_scr, datt_scr,
+    dh_scr, dc_scr, datt_scr, fpre_scr, dfa_scr,
     *, kk, h_dim, emb_dim, temp, vocab, nl,
 ):
     ib, il = pl.program_id(0), pl.program_id(1)
@@ -339,20 +334,22 @@ def _bwd_kernel(
             a, bmat, dimension_numbers=dims, preferred_element_type=f32
         )
 
-    for j in range(TL - 1, -1, -1):
-        at_boundary = j == 0
-        h_t = hid_ref[j].astype(f32)
+    def step_body(jj, _):
+        j = TL - 1 - jj  # reverse within the block
+        jm = jnp.maximum(j - 1, 0)
         c_t = cs_ref[j].astype(f32)
-        if at_boundary:
-            h_prev = jnp.where(is_first_block, 0.0, hidp_ref[TL - 1].astype(f32))
-            c_prev = jnp.where(is_first_block, 0.0, csp_ref[TL - 1].astype(f32))
-            att_prev = jnp.where(
-                is_first_block, ia_ref[:].astype(f32), alp_ref[TL - 1].astype(f32)
-            )
-        else:
-            h_prev = hid_ref[j - 1].astype(f32)
-            c_prev = cs_ref[j - 1].astype(f32)
-            att_prev = al_ref[j - 1].astype(f32)
+        # step-entry state: previous row of this block, previous block's
+        # last row at the boundary, zeros / uniform init at global step 0
+        boundary = j == 0
+        zero_entry = jnp.logical_and(boundary, is_first_block)
+        h_prev = jnp.where(boundary, hidp_ref[TL - 1].astype(f32), hid_ref[jm].astype(f32))
+        h_prev = jnp.where(zero_entry, 0.0, h_prev)
+        c_prev = jnp.where(boundary, csp_ref[TL - 1].astype(f32), cs_ref[jm].astype(f32))
+        c_prev = jnp.where(zero_entry, 0.0, c_prev)
+        att_prev = jnp.where(
+            boundary, alp_ref[TL - 1].astype(f32), al_ref[jm].astype(f32)
+        )
+        att_prev = jnp.where(zero_entry, ia_ref[:].astype(f32), att_prev)
         att_t = al_ref[j].astype(f32)
 
         # --- logits head backward
@@ -404,12 +401,22 @@ def _bwd_kernel(
 
         # --- energy backward: e remat, de, dq, dk, d_fpre, loc grads
         q = mm(h_prev, wq_ref[:].astype(f32)) + bq_ref[0].astype(f32)[None]
-        acc = k_ref[:].astype(f32) + q[:, None, :] + locb_ref[0].astype(f32)[None, None]
-        fpre = []
-        for ki in range(kk):
-            fp = mm(att_prev, locT_ref[ki].astype(f32))
-            fpre.append(fp)
-            acc = acc + fp[:, :, None] * wlp_ref[ki].astype(f32)[None, None, :]
+
+        def loc_fwd_body(ki, _):
+            fpre_scr[ki] = mm(att_prev, locT_ref[ki].astype(f32))
+            return 0
+
+        jax.lax.fori_loop(0, kk, loc_fwd_body, 0)
+        f = mm(
+            fpre_scr[:].reshape(kk, bB * s), wlp_ref[:].astype(f32),
+            (((0,), (0,)), ((), ())),
+        ).reshape(bB, s, -1)
+        acc = (
+            k_ref[:].astype(f32)
+            + q[:, None, :]
+            + locb_ref[0].astype(f32)[None, None]
+            + f
+        )
         e = jnp.tanh(acc)
         locv = locv_ref[0].astype(f32)
         de = denergy[:, :, None] * locv[None, None, :] * (1.0 - e * e)  # [bB,S,Dk]
@@ -421,17 +428,29 @@ def _bwd_kernel(
         dlocv_ref[0:1] += jnp.sum(e * denergy[:, :, None], axis=(0, 1))[None]
         dlocb_ref[0:1] += jnp.sum(de, axis=(0, 1))[None]
 
-        datt_new = jnp.zeros((bB, s), f32)
-        for ki in range(kk):
-            dfp = jnp.sum(de * wlp_ref[ki].astype(f32)[None, None, :], axis=-1)  # [bB,S]
-            dfpre_ref[ki, j] = dfp.astype(dfpre_ref.dtype)
-            dwlp_ref[ki : ki + 1] += jnp.sum(de * fpre[ki][:, :, None], axis=(0, 1))[None]
-            datt_new = datt_new + mm(dfp, locTT_ref[ki].astype(f32))
+        # d_fpre[k] = sum_d de*wlp[k] for all k as ONE contraction over Dk
+        # (into the [K, bB, S] scratch so the datt loop can ref-index it);
+        # dwlp as ONE contraction over (bB, S)
+        de2 = de.reshape(bB * s, -1)
+        dwlp_ref[:] += mm(
+            fpre_scr[:].reshape(kk, bB * s), de2, (((1,), (0,)), ((), ()))
+        )
+        dfa = mm(wlp_ref[:].astype(f32), de2, (((1,), (1,)), ((), ())))  # [K, bB*S]
+        dfa_scr[:] = dfa.reshape(kk, bB, s)
+        dfpre_ref[j] = dfa_scr[:].astype(dfpre_ref.dtype)
+
+        def loc_bwd_body(ki, datt):
+            return datt + mm(dfa_scr[ki], locTT_ref[ki].astype(f32))
+
+        datt_new = jax.lax.fori_loop(0, kk, loc_bwd_body, jnp.zeros((bB, s), f32))
 
         # --- carries for step t-1
         dh_scr[:] = dh_lstm + mm(dq_step, wq_ref[:].astype(f32), (((1,), (1,)), ((), ())))
         dc_scr[:] = dc_next
         datt_scr[:] = datt_new
+        return 0
+
+    jax.lax.fori_loop(0, TL, step_body, 0)
 
 
 def _bwd_call(res, dlogits, dalign_up, dhid_up, *, temp, vocab, bB):
@@ -495,7 +514,7 @@ def _bwd_call(res, dlogits, dalign_up, dhid_up, *, temp, vocab, bB):
             pl.BlockSpec((TL, bB, 4 * h_dim), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((TL, bB, dk), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (kk, TL, bB, s), lambda ib, il: (0, nl - 1 - il, ib, 0),
+                (TL, kk, bB, s), lambda ib, il: (nl - 1 - il, 0, ib, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((bB, s, dk), tile3, memory_space=pltpu.VMEM),
@@ -506,7 +525,7 @@ def _bwd_call(res, dlogits, dalign_up, dhid_up, *, temp, vocab, bB):
         out_shape=(
             sds((lp, b, 4 * h_dim), dt),
             sds((lp, b, dk), dt),
-            sds((kk, lp, b, s), dt),
+            sds((lp, kk, b, s), dt),
             sds((b, s, dk), jnp.float32),
             sds((kk, dk), jnp.float32),
             sds((8, dk), jnp.float32),
@@ -516,6 +535,8 @@ def _bwd_call(res, dlogits, dalign_up, dhid_up, *, temp, vocab, bB):
             pltpu.VMEM((bB, h_dim), jnp.float32),
             pltpu.VMEM((bB, h_dim), jnp.float32),
             pltpu.VMEM((bB, s), jnp.float32),
+            pltpu.VMEM((kk, bB, s), jnp.float32),
+            pltpu.VMEM((kk, bB, s), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(125e6)),
         interpret=interpret,
@@ -545,8 +566,11 @@ def _shift_blocks(x):
 
 
 def _pick_bb_fwd(b):
-    for cand in (64, 32, 16, 8):
-        if b % cand == 0:
+    import os
+
+    pref = int(os.environ.get("E2E_ASR_DEC_BB", "64"))
+    for cand in (pref, 64, 32, 16, 8):
+        if cand <= b and b % cand == 0:
             return cand
     return b
 
@@ -646,7 +670,7 @@ def _vjp_bwd(temp, train, sample, vocab, l_real, res, cots):
     dwq = jnp.einsum("lbh,lbd->hd", h_prev, dqf)
     dbq = jnp.sum(dqf, axis=(0, 1))
     dv = jnp.einsum("lbs,lbe->bse", al, dctx)
-    dlocT = jnp.einsum("lbp,klbs->kps", att_prev, dfpre.astype(f32))
+    dlocT = jnp.einsum("lbp,lkbs->kps", att_prev, dfpre.astype(f32))
 
     return (
         dk.astype(k.dtype),
@@ -702,11 +726,16 @@ def run_decode_scan(
     ap = params["attention"]
     dp = params["decoder"]
     cell = dp["cells"][0]
-    b, s, e_dim = enc.shape
+    b, s0, e_dim = enc.shape
     l = teacher_in.shape[1]
     vocab = params["embed"]["table"].shape[0]
     vp = _cdiv(vocab, 128) * 128
     lp = _cdiv(l, TL) * TL
+    # pad S to a lane multiple: misaligned S blew Mosaic compile times up
+    # by orders of magnitude at the flagship shape; padded frames carry
+    # mask=0 so every result is unchanged (align rows sliced back below)
+    s = _cdiv(s0, 128) * 128
+    enc = _pad_axis(enc, s, 1)
     dt = enc.dtype
 
     k = (enc @ ap["proj_k"]["w"].astype(dt)).astype(dt)  # [B,S,Dk] (no bias)
@@ -737,6 +766,6 @@ def run_decode_scan(
         bool(train), bool(sample_decoding), int(vocab), int(l),
     )
     att_logits = jnp.moveaxis(logits[:l, :, :vocab], 0, 1)  # [B,L,V]
-    aligns = jnp.moveaxis(align[:l], 0, 1)[:, :, None, :]  # [B,L,1,S]
+    aligns = jnp.moveaxis(align[:l, :, :s0], 0, 1)[:, :, None, :]  # [B,L,1,S]
     hiddens = jnp.moveaxis(hidden[:l], 0, 1)  # [B,L,H]
     return att_logits, aligns, hiddens
