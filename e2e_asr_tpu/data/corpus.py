@@ -12,6 +12,7 @@ float32 waveform lazily so manifests stay cheap.
 
 from __future__ import annotations
 
+import itertools
 import os
 import wave
 from dataclasses import dataclass
@@ -115,6 +116,16 @@ _SYNTH_WORDS = (
     "CALL WHO OIL ITS NOW FIND LONG DOWN DAY DID GET COME MADE MAY PART"
 ).split()
 
+# Word -> unique 3-tone chord over a 12-tone geometric bank (300-6000 Hz,
+# ratio 1.313/step ~ 4.7 semitones). Single tones 15 Hz apart were NOT
+# separable by an 80-bin mel filterbank: at 200 Hz a mel bin spans ~28 Hz,
+# so 38/95 adjacent word pairs had identical fundamental AND 2nd-harmonic
+# bins -- the round-1 dev-CER plateau at ~0.77 was a task artifact, not a
+# model failure. Every bank tone lands in its own mel bin, and any two
+# chords differ in >=1 tone, so words are always acoustically separable.
+_SYNTH_BANK = tuple(300.0 * (20.0 ** (k / 11.0)) for k in range(12))
+_SYNTH_CHORDS = tuple(itertools.combinations(range(12), 3))  # 220 >= 96 words
+
 
 def synthetic(
     n_utts: int = 64,
@@ -152,14 +163,14 @@ def synthetic(
                 seg = max(1, n // max(len(words), 1))
                 tt = np.arange(n) / sample_rate
                 for j, w in enumerate(words):
-                    # one unique, process-independent tone per word (builtin
-                    # `hash` is salted per process => train/decode in separate
-                    # processes would disagree on the audio; and modulo
-                    # collisions made distinct words acoustically identical)
-                    f0 = 200.0 + 15.0 * _SYNTH_WORDS.index(w)
+                    # process-independent chord per word (index-derived, not
+                    # builtin `hash`: that is salted per process => train and
+                    # decode in separate processes would disagree on audio)
                     s, e = j * seg, min(n, (j + 1) * seg)
-                    x[s:e] += 0.3 * np.sin(2 * np.pi * f0 * tt[s:e]).astype(np.float32)
-                    x[s:e] += 0.15 * np.sin(4 * np.pi * f0 * tt[s:e]).astype(np.float32)
+                    for k in _SYNTH_CHORDS[_SYNTH_WORDS.index(w)]:
+                        x[s:e] += 0.2 * np.sin(
+                            2 * np.pi * _SYNTH_BANK[k] * tt[s:e]
+                        ).astype(np.float32)
             return x
 
         utts.append(Utterance(f"synth-{i:05d}", make, text, n))

@@ -75,7 +75,7 @@ class BucketedLoader:
         num_workers: int = 2,
         process_index: int = 0,
         process_count: int = 1,
-        cache_bytes: int = 2 << 30,
+        cache_bytes: int = 16 << 30,
     ):
         assert len(buckets_frames) == len(token_buckets)
         self.tokenizer = tokenizer
