@@ -1,14 +1,22 @@
 """Benchmark: flagship joint CTC/attention model on one chip.
 
-Prints ONE JSON line whose primary metric is the BASELINE.json north star
-(train audio-seconds/s/chip at the throughput-optimal max-fill shape), with
-two additional honesty metrics in "extra" (VERDICT round-1 items 5/6):
+Prints the driver-contract JSON line INCREMENTALLY (round-2 verdict item 1:
+rc=124 with all-or-nothing output produced NO artifact): the primary metric
+line is emitted (flushed) as soon as the max-fill stage finishes, then
+RE-emitted with extras appended after each additional stage. Every stage
+runs under its own wall-clock budget on a daemon thread, so a hung compile
+or a wedged TPU tunnel can cost at most that stage — the last complete line
+always stands.
 
-- train_realistic_audio_sec_per_sec_chip: one *cache-warm* epoch of the real
-  BucketedLoader over mixed-length synthetic utterances — includes pad
-  waste, bucket switching, host batching; the number a real run sees.
-- decode_audio_sec_per_sec_chip: batched beam search W=8 with CTC prefix
-  rescoring (BASELINE.json configs[3] headline decode path).
+Metrics:
+- train_audio_sec_per_sec_chip (primary): BASELINE.json north star at the
+  throughput-optimal max-fill shape (B=128, 1632-frame bucket).
+- extra.train_realistic_audio_sec_per_sec_chip: one cache-warm epoch of the
+  real BucketedLoader + DevicePrefetcher + device-resident corpus over
+  mixed-length utterances — pad waste, bucket switching, input pipeline
+  included; the number a real run sees.
+- extra.decode_audio_sec_per_sec_chip: batched beam search W=8 with CTC
+  prefix rescoring (BASELINE.json configs[3] headline decode path).
 
 The reference publishes no throughput number (single-GPU, unreported —
 BASELINE.md), so vs_baseline is reported against real-time (1.0 = audio
@@ -22,7 +30,11 @@ synchronize — a device-to-host value readback is the only honest fence.
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -31,6 +43,20 @@ FRAMES = 1632  # flagship LibriSpeech-like bucket (~16.3 s)
 N_SAMPLES = FRAMES * 160 + 240
 L_TOK = 160
 VOCAB = 31
+
+STAGE_BUDGET_S = {"maxfill": 480.0, "realistic": 360.0, "decode": 300.0}
+
+_result = {
+    "metric": "train_audio_sec_per_sec_chip",
+    "value": None,
+    "unit": "audio-seconds/s/chip",
+    "vs_baseline": None,
+    "extra": {},
+}
+
+
+def emit():
+    print(json.dumps(_result), flush=True)
 
 
 def flagship_config():
@@ -78,7 +104,7 @@ def _train_setup(cfg):
     tx = build_optimizer(cfg.hparas)
     state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
     state = jax.device_put(state, mesh_mod.replicated(mesh))
-    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,))
+    step = jax.jit(make_train_step(cfg, tx), donate_argnums=(0,), static_argnums=(3,))
     return mesh, state, step
 
 
@@ -106,7 +132,7 @@ def bench_train_maxfill(cfg, mesh, state, step) -> float:
             "text_len": np.full((b,), L_TOK, np.int32),
         },
     )
-    state, m = step(state, batch, jax.random.PRNGKey(0))  # compile
+    state, m = step(state, batch, jax.random.PRNGKey(0), 0)  # compile
     float(m["loss"])
 
     iters = 10
@@ -114,22 +140,29 @@ def bench_train_maxfill(cfg, mesh, state, step) -> float:
     for trial in range(3):
         t0 = time.time()
         for i in range(iters):
-            state, m = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1 + trial), i))
+            state, m = step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(1 + trial), i), 0
+            )
         float(m["loss"])  # honest fence
         best = min(best, time.time() - t0)
-    return b * N_SAMPLES / SR * iters / best / jax.device_count()
+    # state buffers were donated through the step; hand the live one back
+    return b * N_SAMPLES / SR * iters / best / jax.device_count(), state
 
 
 def bench_train_realistic(cfg, mesh, state, step) -> float:
-    """One cache-warm epoch of the BucketedLoader: mixed utterance lengths,
-    real pad waste, bucket switching, host batch assembly (VERDICT item 6)."""
+    """One cache-warm epoch of the production input path: BucketedLoader
+    (mixed lengths, pad waste, bucket switching) + device-resident corpus +
+    DevicePrefetcher — the configuration a real training run uses."""
     import jax
 
     from e2e_asr_tpu.data.corpus import synthetic
     from e2e_asr_tpu.data.dataset import BucketedLoader, build_tokenizer
+    from e2e_asr_tpu.data.prefetch import DevicePrefetcher
     from e2e_asr_tpu.parallel import mesh as mesh_mod
 
-    utts = synthetic(n_utts=384, min_sec=2.0, max_sec=16.3, seed=7)
+    # enough utterances that per-epoch fixed costs (prefetch spin-up, the
+    # final fence's tunnel RTT) amortize over ~12 steps, not 3
+    utts = synthetic(n_utts=1536, min_sec=2.0, max_sec=16.3, seed=7)
     cfg.data.text.mode = "character"
     tok = build_tokenizer(cfg.data, utts)
     loader = BucketedLoader(
@@ -137,8 +170,19 @@ def bench_train_realistic(cfg, mesh, state, step) -> float:
         buckets_frames=[816, FRAMES], token_buckets=[96, L_TOK],
         win=400, shift=160,
         half_batch_len=4000,  # no halving: B=128 executables for both buckets
-        shuffle=True, num_workers=2,
+        shuffle=True, num_workers=4,
     )
+    flat, _ = loader.flat_corpus()
+    corpus = jax.device_put(flat, mesh_mod.replicated(mesh))
+    corpus.block_until_ready()
+
+    def put(b):
+        d = mesh_mod.shard_batch(
+            mesh,
+            {"wav_off": b.wav_off, "wav_len": b.wav_len, "text": b.text, "text_len": b.text_len},
+        )
+        d["corpus"] = corpus
+        return d
 
     def run_epoch(epoch):
         rng = jax.random.PRNGKey(9)
@@ -146,18 +190,18 @@ def bench_train_realistic(cfg, mesh, state, step) -> float:
         nonlocal state
         t0 = time.time()
         m = None
-        for i, b in enumerate(loader.epoch(epoch)):
-            d = mesh_mod.shard_batch(
-                mesh,
-                {"wav": b.wav, "wav_len": b.wav_len, "text": b.text, "text_len": b.text_len},
-            )
-            state, m = step(state, d, jax.random.fold_in(rng, i))
-            audio_sec += float(b.wav_len.sum()) / SR
+        pf = DevicePrefetcher(loader.epoch(epoch), put, depth=2)
+        try:
+            for i, (b, d) in enumerate(pf):
+                state, m = step(state, d, jax.random.fold_in(rng, i), b.n_samples)
+                audio_sec += float(b.wav_len.sum()) / SR
+        finally:
+            pf.close()
         float(m["loss"])  # honest fence
         return audio_sec / (time.time() - t0) / jax.device_count()
 
-    run_epoch(0)  # compile both bucket shapes + warm the waveform cache
-    return run_epoch(1)
+    run_epoch(0)  # compile both bucket shapes
+    return max(run_epoch(1), run_epoch(2))
 
 
 def bench_decode(cfg) -> float:
@@ -194,30 +238,63 @@ def bench_decode(cfg) -> float:
     return b * N_SAMPLES / SR * iters / best / jax.device_count()
 
 
+def _run_stage(name: str, fn):
+    """Run fn() on a daemon thread under the stage budget; None on miss."""
+    out = {}
+
+    def target():
+        try:
+            out["v"] = fn()
+        except Exception:
+            out["e"] = traceback.format_exc(limit=3)
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(STAGE_BUDGET_S[name])
+    if "e" in out:
+        print(f"# stage {name} failed:\n{out['e']}", file=sys.stderr, flush=True)
+    elif "v" not in out:
+        print(f"# stage {name} exceeded {STAGE_BUDGET_S[name]}s budget", file=sys.stderr, flush=True)
+    return out.get("v")
+
+
 def main():
     from e2e_asr_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-
     cfg = flagship_config()
-    mesh, state, step = _train_setup(cfg)
-    thr = bench_train_maxfill(cfg, mesh, state, step)
-    realistic = bench_train_realistic(cfg, mesh, state, step)
-    decode = bench_decode(cfg)
-    print(
-        json.dumps(
-            {
-                "metric": "train_audio_sec_per_sec_chip",
-                "value": round(thr, 2),
-                "unit": "audio-seconds/s/chip",
-                "vs_baseline": round(thr / 1.0, 2),
-                "extra": {
-                    "train_realistic_audio_sec_per_sec_chip": round(realistic, 2),
-                    "decode_audio_sec_per_sec_chip": round(decode, 2),
-                },
-            }
+    setup = {}
+
+    def stage_maxfill():
+        mesh, state, step = _train_setup(cfg)
+        thr, state = bench_train_maxfill(cfg, mesh, state, step)
+        setup["mps"] = (mesh, state, step)
+        return thr
+
+    thr = _run_stage("maxfill", stage_maxfill)
+    if thr is None:
+        # no primary number: emit an explicit null line rather than nothing
+        emit()
+        os._exit(1)
+    _result["value"] = round(thr, 2)
+    _result["vs_baseline"] = round(thr / 1.0, 2)
+    emit()  # primary metric is now on the record whatever happens next
+
+    if "mps" in setup:
+        mesh, state, step = setup["mps"]
+        realistic = _run_stage(
+            "realistic", lambda: bench_train_realistic(cfg, mesh, state, step)
         )
-    )
+        if realistic is not None:
+            _result["extra"]["train_realistic_audio_sec_per_sec_chip"] = round(realistic, 2)
+            emit()
+
+    decode = _run_stage("decode", lambda: bench_decode(cfg))
+    if decode is not None:
+        _result["extra"]["decode_audio_sec_per_sec_chip"] = round(decode, 2)
+        emit()
+    # daemon threads (a hung stage, the prefetcher) must not block exit
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,20 @@ class CorpusConfig:
     # reference halves over-long batches (HALF_BATCHSIZE_AUDIO_LEN≈800)
     half_batch_len: int = 800
     num_workers: int = 4
+    # TPU-native input-path knobs (no reference equivalent — the reference
+    # streams float32 tensors over PCIe; this machine's H2D link is the
+    # scarcest resource, measured ~50 MB/s through the axon tunnel):
+    # wire_dtype: samples cross host->device as int16 PCM (2x fewer bytes,
+    # quantization error 3e-5 << feature noise floor) or float32.
+    wire_dtype: str = "int16"  # int16 | float32
+    # device_cache: keep the ENTIRE corpus resident in HBM as one flat
+    # int16 buffer; each step then transfers only [B] offsets and gathers
+    # waveforms on device. 'auto' = on when the corpus fits
+    # device_cache_bytes (and the run is single-process).
+    device_cache: str = "auto"  # auto | on | off
+    device_cache_bytes: int = 4 << 30
+    # host-side decoded-waveform cache cap (bytes; int16 entries)
+    cache_bytes: int = 2 << 30
 
 
 @dataclass

