@@ -44,6 +44,18 @@ class Solver(BaseSolver):
 
         Decode batching uses DecodeConfig.batch_size (beam memory ~ B*W*T),
         independent of the training batch size."""
+        # prefer the tokenizer the training run saved beside its ckpts over
+        # re-deriving from the corpus (id mapping must match the checkpoint)
+        if not self.config.data.text.vocab_file:
+            ckpt = self.config.src.ckpt or self.paras.load
+            cand = (
+                os.path.join(os.path.dirname(os.path.abspath(ckpt)), "tokenizer.vocab")
+                if ckpt
+                else ""
+            )
+            if cand and os.path.isfile(cand):
+                self.config.data.text.vocab_file = cand
+                self.verbose(f"Pinned tokenizer from training run: {cand}")
         (self.eval_sets, self.feat_dim, self.vocab_size, self.tokenizer, msg) = (
             load_eval_datasets(
                 self.config.data,

@@ -55,6 +55,18 @@ class Solver(BaseSolver):
             num_workers=self.paras.njobs,
         )
         self.verbose(msg)
+        # pin the (possibly corpus-derived) tokenizer next to the ckpts so
+        # decode recipes can't silently re-derive a drifted id mapping
+        # (advisor round 2: tokenizer correctness depended on the decode
+        # config's corpus section staying byte-identical to training's)
+        if self.mode == "train" and jax.process_index() == 0:
+            import os
+
+            tok_path = os.path.join(self.ckpdir, "tokenizer.vocab")
+            try:
+                self.tokenizer.save(tok_path)
+            except NotImplementedError:
+                pass
 
     # ----------------------------------------------------------------- model
     def set_model(self):

@@ -57,6 +57,15 @@ class Solver(BaseSolver):
         self.verbose(
             f"LM data: {len(self.tr_set)}/{len(self.dv_set)} tr/dv batches, vocab {self.vocab_size}"
         )
+        # pin the derived tokenizer beside the ckpts (same policy as ASR
+        # training; fusion at decode time must share the ASR id mapping)
+        if self.mode == "train" and jax.process_index() == 0:
+            import os
+
+            try:
+                self.tokenizer.save(os.path.join(self.ckpdir, "tokenizer.vocab"))
+            except NotImplementedError:
+                pass
 
     def set_model(self):
         cfg = self.config

@@ -233,7 +233,10 @@ class BucketedLoader:
         loader into offsets mode.
         """
         lens = np.asarray([it[0].n_samples for it in self._items], np.int64)
-        total = int(lens.sum())
+        # tail padding: resolve_wav slices [off, off+bucket) with a clamped
+        # dynamic_slice; padding by the largest bucket guarantees the clamp
+        # never engages for a real utterance
+        total = int(lens.sum()) + max(self.buckets_samples)
         assert total < (1 << 31), "corpus too large for int32 offsets"
         offs = np.zeros(len(lens), np.int64)
         if len(lens) > 1:

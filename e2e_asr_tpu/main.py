@@ -44,7 +44,30 @@ def build_parser() -> argparse.ArgumentParser:
     #  pinned-memory plumbing with no TPU analogue.)
     p.add_argument("--amp", action="store_true", help="force bfloat16 compute dtype")
     p.add_argument("--pure-f32", action="store_true", help="force float32 compute dtype")
+    p.add_argument(
+        "-o", "--override", action="append", default=[], metavar="KEY=VAL",
+        help="dotted config override, e.g. -o data.corpus.path=/tmp/libri "
+        "-o hparas.max_step=50 (VAL parsed as YAML); applied after --config",
+    )
     return p
+
+
+def apply_overrides(config, overrides):
+    """Apply dotted KEY=VAL overrides onto the typed config in place."""
+    import yaml
+
+    for ov in overrides:
+        key, sep, val = ov.partition("=")
+        if not sep:
+            raise ValueError(f"--override expects KEY=VAL, got {ov!r}")
+        obj = config
+        parts = key.split(".")
+        for p_ in parts[:-1]:
+            obj = getattr(obj, p_)
+        if not hasattr(obj, parts[-1]):
+            raise AttributeError(f"unknown config key {key!r}")
+        setattr(obj, parts[-1], yaml.safe_load(val))
+    return config
 
 
 def main(argv=None):
@@ -68,6 +91,7 @@ def main(argv=None):
     from e2e_asr_tpu.config import Config
 
     config = Config.load(paras.config)
+    apply_overrides(config, paras.override)
     config.hparas.seed = paras.seed
     if paras.amp:
         config.hparas.dtype = "bfloat16"
