@@ -125,6 +125,9 @@ _SYNTH_WORDS = (
 # chords differ in >=1 tone, so words are always acoustically separable.
 _SYNTH_BANK = tuple(300.0 * (20.0 ** (k / 11.0)) for k in range(12))
 _SYNTH_CHORDS = tuple(itertools.combinations(range(12), 3))  # 220 >= 96 words
+# char coding: 2-tone chords over the same bank (66 >= 26 letters); space
+# stays noise-only — a distinct "silence" signature
+_SYNTH_CHAR_CHORDS = tuple(itertools.combinations(range(12), 2))
 
 
 def synthetic(
@@ -134,12 +137,27 @@ def synthetic(
     max_sec: float = 8.0,
     seed: int = 0,
     audible: bool = True,
+    coding: str = "word",
 ) -> List[Utterance]:
     """Deterministic synthetic speech-like corpus.
 
-    Each utterance's waveform is a word-dependent tone+noise sequence so the
-    audio actually *contains* the transcript information — overfit and
-    decode tests exercise a learnable mapping, not memorization of noise.
+    Each utterance's waveform is a transcript-dependent tone+noise sequence
+    so the audio actually *contains* the transcript information — overfit
+    and decode tests exercise a learnable mapping, not memorization of
+    noise. Two codings:
+
+    - 'word': one 3-tone chord per word, held for the whole word segment.
+      Acoustically separable, but *alignment-free within a word*: every
+      frame of a segment is identical, so char targets carry no intra-word
+      temporal cue. Measured consequence (round 3 diagnostics, runs/diag_*):
+      CTC's gradient spreads over all alignments (loss spikes, grad-norm
+      bursts to ~18) and attention learns a char LM long before acoustics —
+      convergence is orders of magnitude slower than real speech, where
+      phones give every label a local acoustic landmark.
+    - 'char': one 2-tone chord per character (space = noise-only gap) —
+      every target token has its own acoustic segment, like phones do. This
+      is the faithful proxy for the reference's LibriSpeech convergence
+      behavior and the default for convergence recipes.
     """
     rng = np.random.RandomState(seed)
     utts: List[Utterance] = []
@@ -156,12 +174,22 @@ def synthetic(
         text = " ".join(words)
         n = int(dur * sample_rate)
 
-        def make(words=tuple(words), n=n, seed=rng.randint(1 << 30)):
+        def make(text=text, words=tuple(words), n=n, seed=rng.randint(1 << 30)):
             r = np.random.RandomState(seed)
             x = 0.01 * r.randn(n).astype(np.float32)
-            if audible:
+            tt = np.arange(n) / sample_rate
+            if audible and coding == "char":
+                seg = max(1, n // max(len(text), 1))
+                for j, ch in enumerate(text):
+                    if ch == " ":
+                        continue
+                    s, e = j * seg, min(n, (j + 1) * seg)
+                    for k in _SYNTH_CHAR_CHORDS[ord(ch) - ord("A")]:
+                        x[s:e] += 0.25 * np.sin(
+                            2 * np.pi * _SYNTH_BANK[k] * tt[s:e]
+                        ).astype(np.float32)
+            elif audible:
                 seg = max(1, n // max(len(words), 1))
-                tt = np.arange(n) / sample_rate
                 for j, w in enumerate(words):
                     # process-independent chord per word (index-derived, not
                     # builtin `hash`: that is salted per process => train and
@@ -181,8 +209,10 @@ def load_corpus(name: str, path: str, splits: Sequence[str], **kw) -> List[Utter
     """ref: src/data.py imports corpus.<name> by name."""
     if name == "librispeech":
         return librispeech(path, splits, **kw)
-    if name == "synthetic":
+    if name in ("synthetic", "synthetic_char"):
         seed = {"train": 0, "dev": 1, "test": 2}
+        if name == "synthetic_char":
+            kw.setdefault("coding", "char")
         out: List[Utterance] = []
         for s in splits:
             base, _, n = s.partition(":")

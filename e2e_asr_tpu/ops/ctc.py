@@ -123,7 +123,11 @@ def ctc_loss(
     batch-major [B, T, V] (TPU layout: batch outer, lanes on vocab).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        import os
+
+        impl = os.environ.get(
+            "E2E_CTC_IMPL", "pallas" if jax.default_backend() == "tpu" else "scan"
+        )
     if impl == "pallas":
         from e2e_asr_tpu.ops.ctc_pallas import ctc_loss_pallas
 

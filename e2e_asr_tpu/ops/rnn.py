@@ -78,6 +78,9 @@ def _use_pallas(impl: str, cell: str) -> bool:
     'pallas'/'pallas_xw' force it (interpret mode off-TPU, for parity
     tests), 'scan' forces the lax.scan path, 'auto' uses the kernel on real
     TPU for LSTM (GRU stays scan — not the reference's encoder hot path)."""
+    import os
+
+    impl = os.environ.get("E2E_RNN_IMPL", impl)  # bisect escape hatch
     if impl in ("pallas", "pallas_xw"):
         return cell == "lstm"
     return impl == "auto" and cell == "lstm" and jax.default_backend() == "tpu"

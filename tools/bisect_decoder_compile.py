@@ -43,13 +43,18 @@ enc_len = jnp.full((B,), S, jnp.int32)
 teacher_in = jnp.zeros((B, L), jnp.int32)
 coins = jnp.ones((L,), bool)
 
-def f(params, enc):
+# every runtime value is a jit ARGUMENT (advisor round 2: closing over
+# enc_len/teacher_in/coins made them compile-time constants — e.g. the
+# attention mask folded to all-ones — so the probe compiled a different
+# HLO than the real training trace in models/asr.py)
+def f(params, enc, enc_len, teacher_in, coins, rng):
     return decoder_pallas.run_decode_scan(
         params, cfg, enc, enc_len, teacher_in, coins,
-        rng=jax.random.PRNGKey(0), train=True, sample_decoding=False)
+        rng=rng, train=True, sample_decoding=False)
 
 t0 = time.time()
-lowered = jax.jit(f).lower(params, enc)
+lowered = jax.jit(f).lower(
+    params, enc, enc_len, teacher_in, coins, jax.random.PRNGKey(0))
 t1 = time.time()
 lowered.compile()
 t2 = time.time()
