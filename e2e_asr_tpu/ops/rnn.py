@@ -146,7 +146,13 @@ def bidir(
     mask = tidx[:, None] < x_len[None, :]  # [T, B]
     wh = jnp.stack([w_fwd.wh, w_bwd.wh]).astype(dt)  # [2, H, GH]
 
-    if _use_pallas(impl, cell) and impl != "pallas_xw":
+    in_dim = x.shape[-1]
+    # Mosaic rejects the fused kernel's (block, bB, D) -> (block*bB, D)
+    # reshape when D is not lane-aligned ("unsupported shape cast", seen at
+    # D=80 with prenet='' recipes); auto mode falls back to the scan path
+    # for such layers. Explicit impl='pallas' keeps the kernel (tests).
+    lane_ok = in_dim % 128 == 0
+    if _use_pallas(impl, cell) and impl != "pallas_xw" and (impl != "auto" or lane_ok):
         # v2 fused-projection kernel: x@Wx runs inside the kernel
         # (block-batched MXU matmuls); xw is never materialized in HBM —
         # on this chip's measured ~85 GB/s that write+read dominated the
@@ -169,7 +175,8 @@ def bidir(
     xw = jnp.concatenate([xw_f, xw_b], axis=1)  # [T, 2B, GH]
     mask2 = jnp.concatenate([mask, jnp.flip(mask, axis=0)], axis=1)  # [T, 2B]
 
-    if _use_pallas(impl, cell):
+    gh_ok = wh.shape[-1] % 128 == 0  # same lane-alignment rule for [.., GH]
+    if _use_pallas(impl, cell) and (impl != "auto" or gh_ok):
         from e2e_asr_tpu.ops import rnn_pallas
 
         ys = rnn_pallas.lstm_seq(xw, mask2.astype(jnp.float32), wh)

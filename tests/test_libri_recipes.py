@@ -15,12 +15,19 @@ all come from the recipe files verbatim.
 """
 
 import os
+import time
 
 import numpy as np
 import pytest
 
 from e2e_asr_tpu.main import main as cli_main
 from tests.flac_tools import write_flac
+
+
+def _timed(label, fn):
+    t0 = time.time()
+    fn()
+    print(f"[recipe-test] {label}: {time.time() - t0:.1f}s", flush=True)
 
 WORDS = ["HELLO", "WORLD", "GOOD", "DAY", "SPEECH", "MODEL", "DATA", "SET"]
 
@@ -58,24 +65,24 @@ def test_libri_recipe_files_end_to_end(tmp_path):
     path_ov = f"data.corpus.path={libri}"
 
     # 1) RNN-LM recipe (configs/libri/lm_example.yaml, verbatim structure;
-    #    overrides: corpus path, 8 steps, small batch)
-    cli_main(
+    #    overrides: corpus path, 4 steps, small batch)
+    _timed("lm_train", lambda: cli_main(
         ["--config", "configs/libri/lm_example.yaml", "--lm", "--name", "lm_example"]
         + dirs
-        + ["-o", path_ov, "-o", "hparas.max_step=8", "-o", "hparas.valid_step=6",
-           "-o", "hparas.log_step=4", "-o", "lm.batch_size=8"]
-    )
+        + ["-o", path_ov, "-o", "hparas.max_step=4", "-o", "hparas.valid_step=3",
+           "-o", "hparas.log_step=2", "-o", "lm.batch_size=8"]
+    ))
     assert os.path.isdir(tmp_path / "ckpt" / "lm_example" / "best_ppl")
 
     # 2) ASR recipe (configs/libri/asr_example.yaml: VGG + 4x320 BiLSTM +
     #    location attention + joint CTC, curriculum, Adadelta — verbatim;
-    #    overrides: corpus path, 26 steps with one validation, batch 8)
-    cli_main(
+    #    overrides: corpus path, 6 steps with one validation, batch 8)
+    _timed("asr_train", lambda: cli_main(
         ["--config", "configs/libri/asr_example.yaml", "--name", "asr_example"]
         + dirs
-        + ["-o", path_ov, "-o", "hparas.max_step=26", "-o", "hparas.valid_step=25",
-           "-o", "hparas.log_step=25", "-o", "data.corpus.batch_size=8"]
-    )
+        + ["-o", path_ov, "-o", "hparas.max_step=6", "-o", "hparas.valid_step=5",
+           "-o", "hparas.log_step=5", "-o", "data.corpus.batch_size=8"]
+    ))
     asr_ckpt = tmp_path / "ckpt" / "asr_example"
     # best_att only appears once dev CER beats the reference's 3.0 init
     # threshold, which a 26-step model can't do — latest is always saved
@@ -86,7 +93,7 @@ def test_libri_recipe_files_end_to_end(tmp_path):
     #    CTC prefix rescoring w=0.3 AND RNN-LM shallow fusion w=0.3 over dev
     #    and test splits — verbatim; overrides: corpus path, ckpt locations,
     #    beam/batch width 4 to keep CPU compile in budget)
-    cli_main(
+    _timed("decode", lambda: cli_main(
         ["--config", "configs/libri/decode_example.yaml", "--test",
          "--name", "decode_example"]
         + dirs
@@ -94,7 +101,7 @@ def test_libri_recipe_files_end_to_end(tmp_path):
            "-o", f"src.ckpt={asr_ckpt / 'latest'}",
            "-o", f"decode.lm_path={tmp_path / 'ckpt' / 'lm_example' / 'best_ppl'}",
            "-o", "decode.beam_size=4", "-o", "decode.batch_size=4"]
-    )
+    ))
     outdir = tmp_path / "result" / "decode_example"
     for split, n_expected in (("dev", 4), ("test", 4)):
         out = outdir / f"output_{split}.csv"
