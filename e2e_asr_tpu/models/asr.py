@@ -148,10 +148,14 @@ def forward(
     # lax.scan below outside the supported flagship configuration
     from e2e_asr_tpu.ops import decoder_pallas
 
-    # NOTE: 'auto' currently resolves to the scan: the kernel is
-    # value+grad parity-proven (CPU interpret and real TPU), but Mosaic
-    # compiles of the flagship shape exceed 20 minutes through this
-    # environment's remote compile service — opt in with
+    # NOTE: 'auto' resolves to the scan on this chip, by MEASUREMENT not
+    # compile time (round 3): with VMEM-aware batch tiles the flagship
+    # kernel compiles in ~11-50 s (round 2's ">20 min Mosaic compile" was
+    # a probe artifact — closed-over args folded to constants) and wins at
+    # lane-aligned S (fwd 57.4 vs 64.0 ms, fwd+grad 222 vs 250 ms at
+    # S=512), but the kernel must pad S to the 128-lane multiple while the
+    # scan exploits the exact S: at the real flagship S=408 the full train
+    # step is 207 ms (pallas) vs 175 ms (scan). Opt in with
     # decoder.fused_scan='pallas' (see BASELINE.md "decoder kernel status").
     fs = getattr(cfg.decoder, "fused_scan", "auto")
     use_fused = (fs == "pallas") and decoder_pallas.supported(cfg, train)

@@ -565,20 +565,44 @@ def _shift_blocks(x):
 # ===========================================================================
 
 
-def _pick_bb_fwd(b):
+VMEM_BUDGET = 120 << 20  # v5e has 128M of vmem; leave headroom for scalars
+
+
+def _fits_fwd(bb, s, dk, e_dim, kk, vp):
+    """Rough fwd-kernel vmem model from measured compiler dumps: k/v windows
+    double-buffered, locT single, plus ~8M of outputs/weights."""
+    kv = 2 * 2 * bb * s * (max(dk, 320) + e_dim)  # bf16, dk padded to lanes
+    loct = 8 * kk * s * s  # observed ~4x nominal bf16 footprint
+    return kv + loct + (8 << 20) < VMEM_BUDGET
+
+
+def _fits_bwd(bb, s, dk, e_dim, kk):
+    """dk f32 + dv f32 outputs and k/v inputs double-buffered dominate."""
+    outs = 2 * 4 * bb * s * (max(dk, 320) + 0)  # dk f32
+    kv = 2 * 2 * bb * s * (max(dk, 320) + e_dim)
+    dalign = 2 * 2 * TL * kk * bb * s
+    return outs + kv + dalign + (16 << 20) < VMEM_BUDGET
+
+
+def _pick_bb_fwd(b, s=0, dk=0, e_dim=0, kk=0, vp=0):
     import os
 
-    pref = int(os.environ.get("E2E_ASR_DEC_BB", "64"))
+    pref = int(os.environ.get("E2E_ASR_DEC_BB", "0"))
     for cand in (pref, 64, 32, 16, 8):
-        if cand <= b and b % cand == 0:
-            return cand
+        if 0 < cand <= b and b % cand == 0:
+            if cand == pref or not s or _fits_fwd(cand, s, dk, e_dim, kk, vp):
+                return cand
     return b
 
 
-def _pick_bb_bwd(b):
-    for cand in (BB_BWD, 16, 8):
-        if b % cand == 0:
-            return cand
+def _pick_bb_bwd(b, s=0, dk=0, e_dim=0, kk=0):
+    import os
+
+    pref = int(os.environ.get("E2E_ASR_DEC_BB_BWD", "0"))
+    for cand in (pref, BB_BWD, 16, 8):
+        if 0 < cand <= b and b % cand == 0:
+            if cand == pref or not s or _fits_bwd(cand, s, dk, e_dim, kk):
+                return cand
     return b
 
 
@@ -603,7 +627,7 @@ def decoder_scan_fused(
         k, v, mask, init_align, locT, wq, bq, wlp, locv, locb,
         embt, wx, wh, bl, wout, bout, teach_oh, coins, seed,
         temp=temp, train=train, sample=sample, vocab=vocab,
-        bB=_pick_bb_fwd(k.shape[0]),
+        bB=_pick_bb_fwd(k.shape[0], k.shape[1], k.shape[2], v.shape[2], locT.shape[0], embt.shape[0]),
     )
     logits, align, hidden, _, _ = outs
     return logits, align, hidden
@@ -616,7 +640,7 @@ def _vjp_fwd(k, v, mask, init_align, locT, wq, bq, wlp, locv, locb,
         k, v, mask, init_align, locT, wq, bq, wlp, locv, locb,
         embt, wx, wh, bl, wout, bout, teach_oh, coins, seed,
         temp=temp, train=train, sample=sample, vocab=vocab,
-        bB=_pick_bb_fwd(k.shape[0]),
+        bB=_pick_bb_fwd(k.shape[0], k.shape[1], k.shape[2], v.shape[2], locT.shape[0], embt.shape[0]),
     )
     logits, align, hidden, cseq, ohin = outs
     locTT = jnp.swapaxes(locT, 1, 2)
@@ -639,7 +663,8 @@ def _vjp_bwd(temp, train, sample, vocab, l_real, res, cots):
 
     dgates, dq, dfpre, dk, dwlp, dlocv8, dlocb8 = _bwd_call(
         res, dlogits, dalign_up, dhid_up,
-        temp=temp, vocab=vocab, bB=_pick_bb_bwd(k.shape[0]),
+        temp=temp, vocab=vocab,
+        bB=_pick_bb_bwd(k.shape[0], k.shape[1], k.shape[2], v.shape[2], locT.shape[0]),
     )
     dlocv = jnp.sum(dlocv8.astype(f32), axis=0)
     dlocb = jnp.sum(dlocb8.astype(f32), axis=0)
