@@ -20,6 +20,12 @@ def enable_compilation_cache(cache_dir: str = "jax_cache") -> None:
         return
     import jax
 
+    # respect a cache an embedding process already configured (pytest's
+    # conftest points at tests/.jax_test_cache; switching dirs mid-session
+    # would turn every later module's warm entries into misses)
+    if jax.config.jax_compilation_cache_dir:
+        _DONE = True
+        return
     path = os.path.abspath(cache_dir)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
