@@ -148,17 +148,19 @@ def forward(
     # lax.scan below outside the supported flagship configuration
     from e2e_asr_tpu.ops import decoder_pallas
 
-    # NOTE: 'auto' resolves to the scan on this chip, by MEASUREMENT not
-    # compile time (round 3): with VMEM-aware batch tiles the flagship
-    # kernel compiles in ~11-50 s (round 2's ">20 min Mosaic compile" was
-    # a probe artifact — closed-over args folded to constants) and wins at
-    # lane-aligned S (fwd 57.4 vs 64.0 ms, fwd+grad 222 vs 250 ms at
-    # S=512), but the kernel must pad S to the 128-lane multiple while the
-    # scan exploits the exact S: at the real flagship S=408 the full train
-    # step is 207 ms (pallas) vs 175 ms (scan). Opt in with
-    # decoder.fused_scan='pallas' (see BASELINE.md "decoder kernel status").
+    # 'auto' is a MEASUREMENT-driven policy (decoder_pallas.auto_select):
+    # the kernel wins exactly when enc S is already a 128-lane multiple
+    # (Mosaic pads S up to one; at aligned S the train step is 233.6 vs
+    # 261.7 ms on one v5e, at S=408 the pad makes it 207 vs 175 ms).
+    # Round 2's ">20 min Mosaic compile" was a probe artifact; with the
+    # VMEM-aware batch tiles the flagship compiles in ~11-110 s. Force
+    # with decoder.fused_scan='pallas'/'scan' (BASELINE.md "decoder
+    # kernel status").
     fs = getattr(cfg.decoder, "fused_scan", "auto")
-    use_fused = (fs == "pallas") and decoder_pallas.supported(cfg, train)
+    use_fused = decoder_pallas.supported(cfg, train) and (
+        fs == "pallas"
+        or (fs == "auto" and decoder_pallas.auto_select(cfg, train, enc.shape[1]))
+    )
     if use_fused:
         att_logits, aligns, hiddens = decoder_pallas.run_decode_scan(
             params, cfg, enc, enc_len, teacher_in, coins,

@@ -737,6 +737,20 @@ def supported(cfg, train: bool) -> bool:
     )
 
 
+def auto_select(cfg, train: bool, s: int, backend: str = "") -> bool:
+    """Measurement-driven 'auto' policy (round 3, one v5e, B=128, L=160):
+    the fused kernel beats the lax.scan exactly when the encoder length is
+    already a 128-lane multiple — Mosaic pads S up to one, so at aligned S
+    the kernel does no extra work and wins (train step 233.6 vs 261.7 ms at
+    S=512; fwd 57.4 vs 64.0 ms), while at S=408 the pad to 512 makes it
+    lose (207 vs 175 ms). Off-TPU auto never selects it (interpret mode is
+    a test vehicle, orders slower than the scan)."""
+    import jax
+
+    backend = backend or jax.default_backend()
+    return supported(cfg, train) and backend == "tpu" and s % 128 == 0
+
+
 def run_decode_scan(
     params, cfg, enc, enc_len, teacher_in, coins, rng,
     tf_rate_unused=None, train=False, sample_decoding=True,

@@ -140,3 +140,19 @@ def test_fused_gate_rejects_unsupported():
     bad3 = dataclasses.replace(cfg, decoder=dataclasses.replace(cfg.decoder, dropout=0.5))
     assert not decoder_pallas.supported(bad3, train=True)
     assert decoder_pallas.supported(bad3, train=False)
+
+
+def test_auto_select_lane_alignment_policy():
+    """'auto' picks the kernel only on TPU at 128-lane-aligned enc lengths
+    (measurement-driven policy — see decoder_pallas.auto_select)."""
+    from e2e_asr_tpu.ops import decoder_pallas
+
+    cfg = tiny_cfg().model
+    assert decoder_pallas.auto_select(cfg, True, 512, backend="tpu")
+    assert decoder_pallas.auto_select(cfg, False, 128, backend="tpu")
+    assert not decoder_pallas.auto_select(cfg, True, 408, backend="tpu")
+    assert not decoder_pallas.auto_select(cfg, True, 512, backend="cpu")
+    bad = dataclasses.replace(
+        cfg, attention=dataclasses.replace(cfg.attention, mode="dot")
+    )
+    assert not decoder_pallas.auto_select(bad, True, 512, backend="tpu")
