@@ -49,7 +49,7 @@ def _make_tree(root, rng):
                 )
                 f.write(f"{uid} {text}\n")
 
-    add_split("train-clean-100", 19, 198, 12)
+    add_split("train-clean-100", 19, 198, 8)
     add_split("dev-clean", 84, 121, 4)
     add_split("test-clean", 61, 70, 4)
 
@@ -76,13 +76,13 @@ def test_libri_recipe_files_end_to_end(tmp_path):
 
     # 2) ASR recipe (configs/libri/asr_example.yaml: VGG + 4x320 BiLSTM +
     #    location attention + joint CTC, curriculum, Adadelta — verbatim;
-    #    overrides: corpus path, 6 steps (validation itself is covered by
+    #    overrides: corpus path, 3 steps (validation itself is covered by
     #    test_solver on a small model; here the recipe chain is the target), batch 8)
     _timed("asr_train", lambda: cli_main(
         ["--config", "configs/libri/asr_example.yaml", "--name", "asr_example"]
         + dirs
-        + ["-o", path_ov, "-o", "hparas.max_step=6", "-o", "hparas.valid_step=9",
-           "-o", "hparas.log_step=5", "-o", "data.corpus.batch_size=8"]
+        + ["-o", path_ov, "-o", "hparas.max_step=3", "-o", "hparas.valid_step=9",
+           "-o", "hparas.log_step=2", "-o", "data.corpus.batch_size=8"]
     ))
     asr_ckpt = tmp_path / "ckpt" / "asr_example"
     # best_att only appears once dev CER beats the reference's 3.0 init
