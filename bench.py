@@ -132,6 +132,15 @@ def bench_train_maxfill(cfg, mesh, state, step) -> float:
             "text_len": np.full((b,), L_TOK, np.int32),
         },
     )
+    # compiled-executable cost analysis BEFORE donation consumes the state
+    flops = bytes_acc = 0.0
+    try:
+        ca = step.lower(state, batch, jax.random.PRNGKey(0), 0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
     state, m = step(state, batch, jax.random.PRNGKey(0), 0)  # compile
     float(m["loss"])
 
@@ -145,8 +154,18 @@ def bench_train_maxfill(cfg, mesh, state, step) -> float:
             )
         float(m["loss"])  # honest fence
         best = min(best, time.time() - t0)
+    step_s = best / iters
+    util = {"step_ms": round(step_s * 1e3, 2)}
+    if flops:
+        from e2e_asr_tpu.utils import profiling as prof
+
+        hbm = (prof.MEASURED_HBM_READ_GBPS + prof.MEASURED_HBM_WRITE_GBPS) / 2
+        util["achieved_tflops"] = round(flops / step_s / 1e12, 2)
+        # fraction of the MEASURED chip envelope (BASELINE.md), not nominal
+        util["sol_compute"] = round(flops / prof.MEASURED_BF16_FLOPS / step_s, 3)
+        util["sol_memory"] = round(bytes_acc / hbm / step_s, 3)
     # state buffers were donated through the step; hand the live one back
-    return b * N_SAMPLES / SR * iters / best / jax.device_count(), state
+    return b * N_SAMPLES / SR * iters / best / jax.device_count(), state, util
 
 
 def bench_train_realistic(cfg, mesh, state, step) -> float:
@@ -187,21 +206,42 @@ def bench_train_realistic(cfg, mesh, state, step) -> float:
     def run_epoch(epoch):
         rng = jax.random.PRNGKey(9)
         audio_sec = 0.0
+        fill_num = fill_den = 0  # pad efficiency: real samples / slot samples
+        stall_s = 0.0  # wall spent waiting on the input pipeline
         nonlocal state
         t0 = time.time()
         m = None
         pf = DevicePrefetcher(loader.epoch(epoch), put, depth=2)
         try:
-            for i, (b, d) in enumerate(pf):
+            it = iter(pf)
+            i = 0
+            while True:
+                ts = time.time()
+                try:
+                    b, d = next(it)
+                except StopIteration:
+                    break
+                stall_s += time.time() - ts
                 state, m = step(state, d, jax.random.fold_in(rng, i), b.n_samples)
                 audio_sec += float(b.wav_len.sum()) / SR
+                fill_num += int(b.wav_len.sum())
+                fill_den += b.wav_len.shape[0] * b.n_samples
+                i += 1
         finally:
             pf.close()
         float(m["loss"])  # honest fence
-        return audio_sec / (time.time() - t0) / jax.device_count()
+        wall = time.time() - t0
+        counters = {
+            "realistic_bucket_fill": round(fill_num / max(fill_den, 1), 3),
+            "realistic_input_stall_frac": round(stall_s / wall, 3),
+        }
+        return audio_sec / wall / jax.device_count(), counters
 
     run_epoch(0)  # compile both bucket shapes
-    return max(run_epoch(1), run_epoch(2)), state
+    r1, c1 = run_epoch(1)
+    r2, c2 = run_epoch(2)
+    best, counters = (r1, c1) if r1 >= r2 else (r2, c2)
+    return best, state, counters
 
 
 def bench_train_aligned(cfg, mesh, state, step):
@@ -240,7 +280,7 @@ def bench_train_aligned(cfg, mesh, state, step):
             )
         float(m["loss"])  # honest fence
         best = min(best, time.time() - t0)
-    return b * n / SR * iters / best / jax.device_count(), state
+    return b * n / SR * iters / best / jax.device_count(), state, None
 
 
 def bench_decode(cfg) -> float:
@@ -278,7 +318,13 @@ def bench_decode(cfg) -> float:
 
 
 def _run_stage(name: str, fn):
-    """Run fn() on a daemon thread under the stage budget; None on miss."""
+    """Run fn() on a daemon thread under the stage budget.
+
+    Returns (value_or_None, timed_out). A timed-out stage's thread is STILL
+    RUNNING against the TPU and may still own donated buffers — the caller
+    must not run further device work in that case (advisor round 3: a later
+    stage reusing the donated TrainState raced the zombie thread and could
+    wedge the single-client axon tunnel for 15-20 min)."""
     out = {}
 
     def target():
@@ -294,7 +340,7 @@ def _run_stage(name: str, fn):
         print(f"# stage {name} failed:\n{out['e']}", file=sys.stderr, flush=True)
     elif "v" not in out:
         print(f"# stage {name} exceeded {STAGE_BUDGET_S[name]}s budget", file=sys.stderr, flush=True)
-    return out.get("v")
+    return out.get("v"), th.is_alive()
 
 
 def main():
@@ -306,49 +352,60 @@ def main():
 
     def stage_maxfill():
         mesh, state, step = _train_setup(cfg)
-        thr, state = bench_train_maxfill(cfg, mesh, state, step)
+        thr, state, util = bench_train_maxfill(cfg, mesh, state, step)
         setup["mps"] = (mesh, state, step)
+        setup["util"] = util
         return thr
 
-    thr = _run_stage("maxfill", stage_maxfill)
+    thr, wedged = _run_stage("maxfill", stage_maxfill)
     if thr is None:
         # no primary number: emit an explicit null line rather than nothing
         emit()
         os._exit(1)
     _result["value"] = round(thr, 2)
     _result["vs_baseline"] = round(thr / 1.0, 2)
+    # utilization vs the MEASURED chip envelope (round-3 verdict item 5:
+    # the artifact must answer "how far from this chip's speed of light")
+    _result["extra"].update(setup.get("util", {}))
     emit()  # primary metric is now on the record whatever happens next
 
-    if "mps" in setup:
+    if "mps" in setup and not wedged:
 
         def stage_realistic():
             mesh, state, step = setup["mps"]
-            thr, state = bench_train_realistic(cfg, mesh, state, step)
+            thr, state, counters = bench_train_realistic(cfg, mesh, state, step)
             setup["mps"] = (mesh, state, step)  # state buffers were donated
+            setup["counters"] = counters
             return thr
 
-        realistic = _run_stage("realistic", stage_realistic)
+        realistic, wedged = _run_stage("realistic", stage_realistic)
         if realistic is not None:
             _result["extra"]["train_realistic_audio_sec_per_sec_chip"] = round(realistic, 2)
+            _result["extra"].update(setup.get("counters", {}))
+            emit()
+        elif not wedged:
+            setup.pop("mps", None)  # stage died: its donated-state handoff is void
+
+    if not wedged:
+        decode, wedged = _run_stage("decode", lambda: bench_decode(cfg))
+        if decode is not None:
+            _result["extra"]["decode_audio_sec_per_sec_chip"] = round(decode, 2)
             emit()
 
-    decode = _run_stage("decode", lambda: bench_decode(cfg))
-    if decode is not None:
-        _result["extra"]["decode_audio_sec_per_sec_chip"] = round(decode, 2)
-        emit()
-
-    if "mps" in setup:
+    if "mps" in setup and not wedged:
 
         def stage_aligned():
             mesh, state, step = setup["mps"]
-            thr, state = bench_train_aligned(cfg, mesh, state, step)
+            thr, state, _ = bench_train_aligned(cfg, mesh, state, step)
             setup["mps"] = (mesh, state, step)
             return thr
 
-        aligned = _run_stage("aligned", stage_aligned)
+        aligned, wedged = _run_stage("aligned", stage_aligned)
         if aligned is not None:
             _result["extra"]["train_aligned_audio_sec_per_sec_chip"] = round(aligned, 2)
             emit()
+    if wedged:
+        print("# a stage timed out with its thread live; later TPU stages skipped", file=sys.stderr, flush=True)
     # daemon threads (a hung stage, the prefetcher) must not block exit
     os._exit(0)
 

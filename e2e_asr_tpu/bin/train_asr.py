@@ -105,6 +105,12 @@ class Solver(BaseSolver):
         want = c.device_cache == "on" or (
             c.device_cache == "auto" and self.tr_set.total_wav_bytes <= c.device_cache_bytes
         )
+        if want and not self.tr_set.flat_corpus_fits:
+            self.verbose(
+                "Device-resident corpus disabled: corpus exceeds int32 sample "
+                "offsets; falling back to the streaming input path"
+            )
+            want = False
         if want and jax.process_count() == 1:
             flat, _ = self.tr_set.flat_corpus()
             self._corpus_buf = jax.device_put(flat, mesh_mod.replicated(self.mesh))

@@ -222,6 +222,15 @@ class BucketedLoader:
         """int16 bytes of every utterance — the HBM cost of flat_corpus()."""
         return sum(it[0].n_samples * 2 for it in self._items)
 
+    @property
+    def flat_corpus_fits(self) -> bool:
+        """True iff the flat corpus (+ tail pad) is addressable with int32
+        sample offsets. Callers must check BEFORE choosing device_cache mode
+        (advisor round 3: asserting inside flat_corpus crashed startup
+        instead of falling back to streaming)."""
+        total = sum(it[0].n_samples for it in self._items) + max(self.buckets_samples)
+        return total < (1 << 31)
+
     def flat_corpus(self) -> Tuple[np.ndarray, np.ndarray]:
         """All waveforms concatenated into one int16 buffer (+ offsets).
 

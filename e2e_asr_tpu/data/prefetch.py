@@ -27,35 +27,53 @@ class DevicePrefetcher:
     def __init__(self, host_iter: Iterator, put_fn: Callable, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
+        self._error: BaseException | None = None
         self._th = threading.Thread(
             target=self._run, args=(host_iter, put_fn), daemon=True
         )
         self._th.start()
 
+    def _put_blocking(self, item) -> bool:
+        """Put with stop-checking retries; never silently drops. True if enqueued."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, host_iter, put_fn):
         try:
             for hb in host_iter:
                 db = put_fn(hb)
-                while not self._stop.is_set():
-                    try:
-                        self._q.put((hb, db), timeout=0.25)
-                        break
-                    except queue.Full:
-                        continue
-                if self._stop.is_set():
+                if not self._put_blocking((hb, db)):
                     return
-            self._q.put(None)
+            self._put_blocking(None)
         except BaseException as e:  # surface worker errors to the consumer
-            try:
-                self._q.put(e, timeout=5.0)
-            except queue.Full:
-                pass
+            # Record on an attribute FIRST (consumer checks it even when the
+            # queue stays full — e.g. it is inside a multi-minute validate()),
+            # then also signal termination through the queue with retries.
+            self._error = e
+            self._put_blocking(e)
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Tuple:
-        item = self._q.get()
+        while True:
+            try:
+                item = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                # Worker dead with nothing queued: surface its error (or a
+                # clean StopIteration if it exited after a successful put we
+                # already consumed) instead of blocking forever.
+                if not self._th.is_alive():
+                    if self._error is not None:
+                        raise self._error
+                    raise StopIteration
+                continue
         if item is None:
             raise StopIteration
         if isinstance(item, BaseException):

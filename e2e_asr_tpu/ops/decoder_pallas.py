@@ -588,22 +588,24 @@ def _pick_bb_fwd(b, s=0, dk=0, e_dim=0, kk=0, vp=0):
     import os
 
     pref = int(os.environ.get("E2E_ASR_DEC_BB", "0"))
-    for cand in (pref, 64, 32, 16, 8):
-        if 0 < cand <= b and b % cand == 0:
-            if cand == pref or not s or _fits_fwd(cand, s, dk, e_dim, kk, vp):
-                return cand
-    return b
+    cands = tuple(c for c in (pref, 64, 32, 16, 8) if 0 < c <= b and b % c == 0)
+    for cand in cands:
+        if cand == pref or not s or _fits_fwd(cand, s, dk, e_dim, kk, vp):
+            return cand
+    # Nothing passes the VMEM model: take the SMALLEST viable tile (least
+    # VMEM), not the full batch (the largest possible footprint).
+    return min(cands) if cands else b
 
 
 def _pick_bb_bwd(b, s=0, dk=0, e_dim=0, kk=0):
     import os
 
     pref = int(os.environ.get("E2E_ASR_DEC_BB_BWD", "0"))
-    for cand in (pref, BB_BWD, 16, 8):
-        if 0 < cand <= b and b % cand == 0:
-            if cand == pref or not s or _fits_bwd(cand, s, dk, e_dim, kk):
-                return cand
-    return b
+    cands = tuple(c for c in (pref, BB_BWD, 16, 8) if 0 < c <= b and b % c == 0)
+    for cand in cands:
+        if cand == pref or not s or _fits_bwd(cand, s, dk, e_dim, kk):
+            return cand
+    return min(cands) if cands else b
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21, 22, 23))

