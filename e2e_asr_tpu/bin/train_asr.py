@@ -199,7 +199,9 @@ class Solver(BaseSolver):
                     m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
                     dt = time.time() - t_wall
                     t_dev = max(dt - t_rd - t_disp, 0.0)
-                    thr = audio_sec_acc / max(dt, 1e-6) / jax.device_count()
+                    # audio_sec_acc counts THIS process's rows; per-chip
+                    # throughput therefore divides by local devices
+                    thr = audio_sec_acc / max(dt, 1e-6) / jax.local_device_count()
                     self.progress(
                         f"loss {m['loss']:.3f} | att {m.get('att_loss', 0):.3f} | "
                         f"ctc {m.get('ctc_loss', 0):.3f} | gnorm {m['grad_norm']:.2f} | "
@@ -231,10 +233,20 @@ class Solver(BaseSolver):
 
     # ------------------------------------------------------------ validation
     def validate(self):
-        """ref: Solver.validate — dev losses + greedy WER/CER, best ckpts."""
+        """ref: Solver.validate — dev losses + greedy WER/CER, best ckpts.
+
+        Multi-host safe: every process iterates the IDENTICAL global batch
+        schedule (dataset.py global schedule), reads back only its own rows
+        of each global array (mesh.local_rows), and error counts are summed
+        across processes so all processes compute the same summary — and
+        therefore take the same best-checkpoint decisions.
+        """
         cfg = self.config
         metrics_acc: Dict[str, list] = {}
-        er_att, er_att2, er_ctc, n_batches = [], [], [], 0
+        # corpus-level ER counts: [att_err, att_len, att2_err, att2_len,
+        # ctc_err, ctc_len]
+        er_counts = np.zeros(6, np.float64)
+        have_att = have_ctc = False
         sample_logged = False
         for batch in self.dv_set.epoch(0):
             dbatch = self._put(batch)
@@ -246,45 +258,50 @@ class Solver(BaseSolver):
             text_len = np.asarray(batch.text_len)
             valid = text_len > 0
             if "att_preds" in m:
+                have_att = True
                 feat, feat_len = self._features(dbatch["wav"], dbatch["wav_len"])
                 max_step = int(text.shape[1] * DEV_STEP_RATIO)
                 toks, aligns = self._greedy(self.state.params, feat, feat_len, max_step)
-                toks = np.asarray(toks)[: len(text)]
-                er_att.append(
-                    cal_er(self.tokenizer, toks[valid], text[valid], mode=self._er_mode())
+                toks = mesh_mod.local_rows(toks)[: len(text)]
+                er_counts[0:2] += cal_er(
+                    self.tokenizer, toks[valid], text[valid], mode=self._er_mode(), counts=True
                 )
-                er_att2.append(
-                    cal_er(self.tokenizer, toks[valid], text[valid], mode=self._er_mode(alt=True))
+                er_counts[2:4] += cal_er(
+                    self.tokenizer, toks[valid], text[valid], mode=self._er_mode(alt=True), counts=True
                 )
-                if not sample_logged:
+                if not sample_logged and valid.any():
                     i = int(np.argmax(valid))
-                    self.write_log("att_align", align_to_image(np.asarray(aligns)[i, :, 0, :]))
+                    self.write_log(
+                        "att_align", align_to_image(mesh_mod.local_rows(aligns)[i, :, 0, :])
+                    )
                     self.write_log(
                         "dev_sample",
                         f"hyp: {self.tokenizer.decode(toks[i])}\n\nref: {self.tokenizer.decode(text[i])}",
                     )
                     sample_logged = True
             if "ctc_preds" in m:
-                ctc_ids = np.asarray(m["ctc_preds"])[: len(text)]
-                enc_len = np.asarray(m["enc_len"])[: len(text)]
-                er_ctc.append(
-                    cal_er(
-                        self.tokenizer,
-                        ctc_ids[valid],
-                        text[valid],
-                        mode=self._er_mode(),
-                        ctc=True,
-                        pred_len=enc_len[valid],
-                    )
+                have_ctc = True
+                ctc_ids = mesh_mod.local_rows(m["ctc_preds"])[: len(text)]
+                enc_len = mesh_mod.local_rows(m["enc_len"])[: len(text)]
+                er_counts[4:6] += cal_er(
+                    self.tokenizer,
+                    ctc_ids[valid],
+                    text[valid],
+                    mode=self._er_mode(),
+                    ctc=True,
+                    pred_len=enc_len[valid],
+                    counts=True,
                 )
-            n_batches += 1
+        er_counts = mesh_mod.allsum_scalars(er_counts)
         summary = {k: float(np.mean(v)) for k, v in metrics_acc.items()}
-        if er_att:
-            summary["dev_er_att"] = float(np.mean(er_att))
+        if have_att:
+            summary["dev_er_att"] = float(er_counts[0] / max(er_counts[1], 1))
             # reference logs both WER and CER curves
-            summary[f"dev_{self._er_mode(alt=True)}_att"] = float(np.mean(er_att2))
-        if er_ctc:
-            summary["dev_er_ctc"] = float(np.mean(er_ctc))
+            summary[f"dev_{self._er_mode(alt=True)}_att"] = float(
+                er_counts[2] / max(er_counts[3], 1)
+            )
+        if have_ctc:
+            summary["dev_er_ctc"] = float(er_counts[4] / max(er_counts[5], 1))
         self.progress("DEV " + " | ".join(f"{k} {v:.3f}" for k, v in summary.items()))
         self.write_log("dev_loss", {k: v for k, v in summary.items() if "loss" in k})
         for head, key in (("att", "dev_er_att"), ("ctc", "dev_er_ctc")):
@@ -294,6 +311,7 @@ class Solver(BaseSolver):
                     self.best_wer[head] = summary[key]
                     self.save_checkpoint(f"best_{head}", key, summary[key], self.state)
         self.save_checkpoint("latest", "step", float(self.step), self.state)
+        return summary
 
     def _er_mode(self, alt: bool = False) -> str:
         primary = "cer" if self.tokenizer.token_type == "character" else "wer"

@@ -129,6 +129,72 @@ _SYNTH_CHORDS = tuple(itertools.combinations(range(12), 3))  # 220 >= 96 words
 # stays noise-only — a distinct "silence" signature
 _SYNTH_CHAR_CHORDS = tuple(itertools.combinations(range(12), 2))
 
+# 'formant' coding: per-char (F1, F2) center-frequency pair on a 5x6 grid.
+# Round-3 diagnostics proved conv prenets optimize pathologically slowly on
+# spectrally-sparse STATIONARY tones (the torch twin shows the same), so the
+# VGG convergence corpus needs what real speech has: energy BANDS (narrowband
+# noise, not lines) that MOVE (coarticulation-style glides between adjacent
+# chars) under a temporal envelope — dense local 2-D structure for 3x3 convs.
+_F1_GRID = (300.0, 450.0, 620.0, 820.0, 1050.0)
+_F2_GRID = (1300.0, 1700.0, 2150.0, 2650.0, 3200.0, 3800.0)
+
+
+def _char_formants(ch: str):
+    c = ord(ch) - ord("A")
+    return _F1_GRID[c % len(_F1_GRID)], _F2_GRID[c // len(_F1_GRID)]
+
+
+def _lowpass_noise(r: np.random.RandomState, n: int, sr: int, bw_hz: float) -> np.ndarray:
+    """Gaussian noise band-limited to [0, bw_hz] via FFT masking — the slow
+    modulator that turns a sine into a ~2*bw-wide noise band."""
+    spec = np.fft.rfft(r.randn(n))
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    spec[freqs > bw_hz] = 0.0
+    x = np.fft.irfft(spec, n)
+    s = float(np.std(x))
+    return (x / s if s > 0 else x).astype(np.float32)
+
+
+def _formant_wave(text: str, n: int, sr: int, seed: int) -> np.ndarray:
+    """Transcript -> two formant-band trajectories -> waveform.
+
+    Per char: both bands sit at that char's (F1, F2) for the middle of its
+    segment and glide linearly to the next char's targets over the final 30%
+    (space pulls both bands to a low 'silence' target and gates amplitude).
+    Each band = sin(2*pi*phi(t)) * lowpass_noise (~80 Hz half-width) so the
+    spectrogram shows moving ENERGY BANDS, not stationary lines.
+    """
+    r = np.random.RandomState(seed)
+    seg = max(1, n // max(len(text), 1))
+    # per-sample center-frequency trajectories + amplitude gate
+    f1 = np.empty(n, np.float32)
+    f2 = np.empty(n, np.float32)
+    amp = np.empty(n, np.float32)
+    targets = [( _char_formants(ch) + (1.0,)) if ch != " " else (200.0, 1100.0, 0.0)
+               for ch in text] or [(200.0, 1100.0, 0.0)]
+    for j in range(len(targets)):
+        s, e = j * seg, (min(n, (j + 1) * seg) if j < len(targets) - 1 else n)
+        if s >= n:
+            break
+        a, b, g = targets[j]
+        na, nb, ng = targets[j + 1] if j + 1 < len(targets) else targets[j]
+        m = e - s
+        hold = int(m * 0.7)
+        f1[s : s + hold], f2[s : s + hold], amp[s : s + hold] = a, b, g
+        k = m - hold
+        if k > 0:  # linear coarticulation glide into the next char
+            t = np.linspace(0.0, 1.0, k, endpoint=False, dtype=np.float32)
+            f1[s + hold : e] = a + (na - a) * t
+            f2[s + hold : e] = b + (nb - b) * t
+            amp[s + hold : e] = g + (ng - g) * t
+    # band synthesis: instantaneous phase = cumsum(f)/sr
+    x = 0.01 * r.randn(n).astype(np.float32)
+    for f, gain in ((f1, 0.28), (f2, 0.22)):
+        phase = 2.0 * np.pi * np.cumsum(f, dtype=np.float64) / sr
+        mod = _lowpass_noise(r, n, sr, 80.0)
+        x += (gain * np.sin(phase).astype(np.float32) * (0.6 + 0.4 * mod) * amp)
+    return x.astype(np.float32)
+
 
 def synthetic(
     n_utts: int = 64,
@@ -175,6 +241,8 @@ def synthetic(
         n = int(dur * sample_rate)
 
         def make(text=text, words=tuple(words), n=n, seed=rng.randint(1 << 30)):
+            if audible and coding == "formant":
+                return _formant_wave(text, n, sample_rate, seed)
             r = np.random.RandomState(seed)
             x = 0.01 * r.randn(n).astype(np.float32)
             tt = np.arange(n) / sample_rate
@@ -209,10 +277,12 @@ def load_corpus(name: str, path: str, splits: Sequence[str], **kw) -> List[Utter
     """ref: src/data.py imports corpus.<name> by name."""
     if name == "librispeech":
         return librispeech(path, splits, **kw)
-    if name in ("synthetic", "synthetic_char"):
+    if name in ("synthetic", "synthetic_char", "synthetic_formant"):
         seed = {"train": 0, "dev": 1, "test": 2}
         if name == "synthetic_char":
             kw.setdefault("coding", "char")
+        if name == "synthetic_formant":
+            kw.setdefault("coding", "formant")
         out: List[Utterance] = []
         for s in splits:
             base, _, n = s.partition(":")

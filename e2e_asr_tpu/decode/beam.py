@@ -93,8 +93,11 @@ def beam_search(
 
     enc, enc_len = asr_mod.encode(params, cfg, feat, feat_len)
     b, s, _ = enc.shape
+    # mem stays UNTILED [B, ...]: the per-step attention is beam-aware
+    # (att_mod.step_beam) so keys/values are never materialized per beam —
+    # the profiled HBM bottleneck of the decode scan (round-3 verdict 3).
     mem = att_mod.prepare(params["attention"], cfg.attention, enc, enc_len)
-    mem_bw = _tile_mem(mem, w)
+    n_heads = cfg.attention.num_head
     vocab = params["decoder"]["char"]["w"].shape[1]
 
     ctc_lp = asr_mod.ctc_log_probs(params, enc).astype(jnp.float32) if use_ctc else None
@@ -103,11 +106,15 @@ def beam_search(
     min_len = (dcfg.min_len_ratio * enc_len).astype(jnp.int32)  # [B]
     max_len = jnp.minimum((dcfg.max_len_ratio * enc_len).astype(jnp.int32), max_step)
 
+    init_att = att_mod.init_align(cfg.attention, mem).astype(enc.dtype)  # [B, H, S]
+    init_att = (
+        jnp.broadcast_to(init_att[:, None], (b, w, n_heads, s)).reshape(b * w, n_heads, s)
+    )
     carry = _Carry(
         tokens=jnp.zeros((b, w, max_step), jnp.int32),
         scores=jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG) * jnp.ones((b, 1)),
         dec_state=dec_mod.init_state(b * w, cfg.decoder, enc.dtype),
-        prev_att=att_mod.init_align(cfg.attention, mem_bw).astype(enc.dtype),
+        prev_att=init_att,
         prev_tok=jnp.zeros((b, w), jnp.int32),
         lm_state=(
             lm_mod.init_state(b * w, lm_cfg, enc.dtype) if use_lm else (jnp.zeros(()), jnp.zeros(()))
@@ -123,16 +130,29 @@ def beam_search(
         fin_len=jnp.ones((b, w), jnp.int32),
     )
 
+    from e2e_asr_tpu.models import layers as L
+
     def step(carry: _Carry, t):
-        # ---- one decoder/attention step for all B*W hypotheses
-        att_carry = asr_mod.DecodeCarry(
-            dec_state=carry.dec_state,
-            prev_att=carry.prev_att,
-            prev_tok=carry.prev_tok.reshape(-1),
+        # ---- one decoder/attention step for all B*W hypotheses (inlined
+        # asr_mod.attend_and_step with the beam-aware attention: same math,
+        # encoder memory read once per utterance instead of once per beam)
+        tok_flat = carry.prev_tok.reshape(-1)
+        emb = L.embed(params["embed"], tok_flat, dtype=enc.dtype)
+        query = dec_mod.query_of(carry.dec_state)  # [B*W, H_dec]
+        align_bw, ctx_bw = att_mod.step_beam(
+            params["attention"],
+            cfg.attention,
+            query.reshape(b, w, -1),
+            mem,
+            carry.prev_att.reshape(b, w, n_heads, s),
         )
-        logits, align, hidden, new_att_carry = asr_mod.attend_and_step(
-            params, cfg, mem_bw, att_carry, carry.prev_tok.reshape(-1)
+        align = align_bw.reshape(b * w, n_heads, s)
+        ctx = ctx_bw.reshape(b * w, -1)
+        logits, hidden, new_dec_state = dec_mod.step(
+            params["decoder"], cfg.decoder, carry.dec_state,
+            jnp.concatenate([emb, ctx], -1),
         )
+        new_att_carry = asr_mod.DecodeCarry(new_dec_state, align, tok_flat)
         if "emb_reg" in params and cfg.emb_reg.fuse > 0:
             from e2e_asr_tpu.models import plugin as plugin_mod
 

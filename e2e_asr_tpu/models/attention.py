@@ -153,3 +153,56 @@ def step(
     if "merge" in params:
         ctx = jnp.tanh(L.dense(params["merge"], ctx))
     return align, ctx
+
+
+def step_beam(
+    params: Params,
+    cfg: AttentionConfig,
+    query: jnp.ndarray,
+    mem: Dict,
+    prev_att: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One attention step for W beams per utterance WITHOUT tiling the
+    encoder memory to B*W rows.
+
+    query: [B, W, dec_dim]; prev_att: [B, W, H, S]; mem is the UNTILED
+    prepare() output. Returns (align [B, W, H, S], ctx [B, W, enc_dim]).
+
+    Why this exists (round-3 verdict item 3): profiling showed the beam
+    step is HBM-bound, and the tiled path (decode/beam.py _tile_mem)
+    materializes + re-reads keys/values once PER BEAM per step. Here k/v
+    appear once per utterance in every einsum, so the dominant HBM terms
+    drop by ~W (v alone: [B*W,S,E] -> [B,S,E] per step). Numerically
+    identical to step() on tiled memory (tests/test_decode.py A/B).
+    """
+    b, w, _ = query.shape
+    h, d = cfg.num_head, cfg.dim
+    k, v, mask = mem["k"], mem["v"], mem["mask"]  # k/v: [B, H, S, *]
+    s = k.shape[2]
+    q = L.dense(params["proj_q"], query).reshape(b, w, h, d)
+
+    if cfg.mode == "dot":
+        energy = jnp.einsum("bwhd,bhsd->bwhs", q, k) / math.sqrt(d)
+    elif cfg.mode == "location":
+        # location features are per-beam (they depend on prev_att); the
+        # Toeplitz bank itself is shared
+        f = jnp.einsum("bwhp,pshk->bwsk", prev_att, mem["loc_T"].astype(q.dtype))
+        f = f + params["loc_conv"]["b"].astype(q.dtype)
+        f = L.dense(params["loc_proj"], f)  # [B, W, S, d]
+        e = jnp.tanh(
+            q[:, :, :, None, :]
+            + k[:, None]
+            + f[:, :, None]
+            + params["loc_b"].astype(q.dtype)
+        )
+        energy = jnp.einsum("bwhsd,hd->bwhs", e, params["loc_v"].astype(q.dtype))
+    else:
+        raise ValueError(f"unknown attention mode {cfg.mode}")
+
+    energy = jnp.where(mask[:, None, None], energy, NEG)
+    align = jax.nn.softmax(energy / cfg.temperature, axis=-1)
+    align = jnp.where(mask[:, None, None], align, 0.0)
+    ctx = jnp.einsum("bwhs,bhse->bwhe", align, v).reshape(b, w, -1)
+    if "merge" in params:
+        ctx = jnp.tanh(L.dense(params["merge"], ctx))
+    return align, ctx

@@ -72,6 +72,43 @@ def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array
     return make_global_batch(mesh, batch)
 
 
+def local_rows(arr: jax.Array) -> np.ndarray:
+    """This process's rows of a leading-axis-sharded global array.
+
+    Multi-process jax.Arrays are not fully addressable (np.asarray raises);
+    each process reads back exactly the row block it contributed through
+    make_array_from_process_local_data — the rows matching its loader-local
+    batch. Shards are stitched in global row order.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allmean_scalars(values: np.ndarray) -> np.ndarray:
+    """Mean of a small host float vector across processes (single-process:
+    identity). Used to aggregate validation metrics so every process takes
+    IDENTICAL best-checkpoint decisions (divergent decisions would desync
+    the collective checkpoint save)."""
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(values)).mean(axis=0)
+
+
+def allsum_scalars(values: np.ndarray) -> np.ndarray:
+    """Sum of a small host float vector across processes."""
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(values)).sum(axis=0)
+
+
 def pad_batch_to(batch: Dict[str, np.ndarray], b: int) -> Dict[str, np.ndarray]:
     """Pad batch rows to a multiple usable by the mesh (masked rows)."""
     cur = next(iter(batch.values())).shape[0]

@@ -42,12 +42,15 @@ class BaseSolver:
         self.timer = Timer()
         self.step = 0
 
-        if mode == "train":
+        if mode == "train" and jax.process_index() == 0:
             os.makedirs(self.ckpdir, exist_ok=True)
             os.makedirs(self.logdir, exist_ok=True)
             from tensorboardX import SummaryWriter
 
             self.log = SummaryWriter(self.logdir, flush_secs=60)
+        elif mode == "train":
+            os.makedirs(self.ckpdir, exist_ok=True)  # multi-host non-primary
+            self.log = None
         else:
             os.makedirs(self.outdir, exist_ok=True)
             self.log = None
@@ -102,6 +105,12 @@ class BaseSolver:
         """
         import orbax.checkpoint as ocp
 
+        # state is replicated (data-parallel), so process 0 alone holds the
+        # full tree; other processes must not race the same ckpt directory.
+        # All processes reach this call (validation summaries are identical
+        # by construction — bin/train_asr.validate aggregates globally).
+        if jax.process_index() != 0:
+            return
         path = os.path.abspath(os.path.join(self.ckpdir, fname))
         ckptr = self._checkpointer()
         payload = {

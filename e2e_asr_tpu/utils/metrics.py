@@ -55,12 +55,15 @@ def cal_er(
     ctc: bool = False,
     pred_len: Optional[np.ndarray] = None,
     truth_len: Optional[np.ndarray] = None,
-) -> float:
+    counts: bool = False,
+):
     """Batch error rate (ref: src/util.py cal_er).
 
     pred_ids/truth_ids: [B, L] int arrays (argmax or decoded). `ctc=True`
     collapses repeats before blank removal (greedy CTC decode). mode:
-    'wer' (word split) | 'cer' (char split).
+    'wer' (word split) | 'cer' (char split). counts=True returns the raw
+    (errors, ref_length) pair instead of the ratio — exact corpus-level
+    aggregation across batches/processes.
     """
     total_err, total_len = 0, 0
     for i in range(len(pred_ids)):
@@ -73,4 +76,6 @@ def cal_er(
         h, r = (hyp.split(), ref.split()) if mode == "wer" else (list(hyp), list(ref))
         total_err += edit_distance(h, r)
         total_len += len(r)
+    if counts:
+        return total_err, total_len
     return total_err / max(total_len, 1)

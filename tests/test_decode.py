@@ -272,3 +272,34 @@ def test_live_leftover_avgscore_parity():
     for bi in range(2):
         assert (tk[bi, :, max_len[bi]:] == 0).all()
     assert (np.asarray(r32.lengths) <= max_len[:, None]).all()
+
+
+@pytest.mark.parametrize("mode", ["dot", "location"])
+def test_step_beam_equals_tiled_step(mode):
+    """The beam-aware attention step (untiled memory, round-4 decode
+    optimization) is numerically identical to step() on beam-tiled memory."""
+    from e2e_asr_tpu.config import AttentionConfig
+    from e2e_asr_tpu.decode.beam import _tile_mem
+    from e2e_asr_tpu.models import attention as att_mod
+
+    b, w, s, e_dim, dec_dim = 3, 4, 24, 16, 12
+    cfg = AttentionConfig(mode=mode, dim=10, num_head=1, loc_kernel_size=5, loc_kernel_num=3)
+    params, _ = att_mod.attention_init(jax.random.PRNGKey(0), e_dim, dec_dim, cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (b, s, e_dim))
+    enc_len = jnp.asarray([24, 17, 9])
+    mem = att_mod.prepare(params, cfg, enc, enc_len)
+    mem_bw = _tile_mem(mem, w)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b * w, dec_dim))
+    prev = att_mod.init_align(cfg, mem_bw) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(3), (b * w, 1, s)
+    )
+    a1, c1 = att_mod.step(params, cfg, q, mem_bw, prev)
+    a2, c2 = att_mod.step_beam(
+        params, cfg, q.reshape(b, w, -1), mem, prev.reshape(b, w, 1, s)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a1).reshape(b, w, 1, s), np.asarray(a2), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(c1).reshape(b, w, -1), np.asarray(c2), rtol=2e-5, atol=2e-6
+    )

