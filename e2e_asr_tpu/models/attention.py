@@ -181,6 +181,29 @@ def step_beam(
     s = k.shape[2]
     q = L.dense(params["proj_q"], query).reshape(b, w, h, d)
 
+    # Pallas per-step kernel (ops/att_step_pallas.py): VMEM-resident
+    # location features/energies/softmax/context — the profiled HBM
+    # bottleneck of beam decode. auto => TPU only; E2E_ATT_STEP forces.
+    import os
+
+    impl = os.environ.get("E2E_ATT_STEP", "auto")
+    if cfg.mode == "location" and impl != "xla":
+        from e2e_asr_tpu.ops import att_step_pallas
+
+        on_tpu = jax.default_backend() == "tpu"
+        if att_step_pallas.supported(cfg, params) and (
+            impl == "pallas" or (impl == "auto" and on_tpu)
+        ):
+            locT = jnp.transpose(mem["loc_T"][:, :, 0, :], (2, 0, 1))  # [K,P,S]
+            locb = params["loc_b"] + params["loc_conv"]["b"] @ params["loc_proj"]["w"]
+            align, ctx = att_step_pallas.att_step_beam_loc(
+                q[:, :, 0, :], prev_att[:, :, 0, :], k[:, 0], v[:, 0],
+                mem["enc_len"], locT, params["loc_proj"]["w"],
+                params["loc_v"][0], locb,
+                temp=float(cfg.temperature), interpret=not on_tpu,
+            )
+            return align[:, :, None, :], ctx
+
     if cfg.mode == "dot":
         energy = jnp.einsum("bwhd,bhsd->bwhs", q, k) / math.sqrt(d)
     elif cfg.mode == "location":

@@ -174,7 +174,11 @@ def run_loader_solver(outdir: str, name: str):
     solver.load_data()
     solver.set_model()
     solver.exec()
-    return solver.validate()
+    summary = solver.validate()
+    # the final validate() issues an async 'latest' save; wait for it or the
+    # orbax commit thread races interpreter/distributed shutdown
+    solver.finish_checkpoints()
+    return summary
 
 
 def main_loader(proc_id: int, nproc: int, port: int, outdir: str) -> None:

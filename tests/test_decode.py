@@ -303,3 +303,26 @@ def test_step_beam_equals_tiled_step(mode):
     np.testing.assert_allclose(
         np.asarray(c1).reshape(b, w, -1), np.asarray(c2), rtol=2e-5, atol=2e-6
     )
+
+
+def test_att_step_pallas_equals_xla(monkeypatch):
+    """ops/att_step_pallas.py (interpret mode on CPU) matches the XLA
+    beam-aware attention step bit-for-tolerance."""
+    from e2e_asr_tpu.config import AttentionConfig
+    from e2e_asr_tpu.models import attention as att_mod
+
+    b, w, s, e_dim, dec_dim = 2, 4, 37, 24, 16
+    cfg = AttentionConfig(mode="location", dim=20, num_head=1,
+                          loc_kernel_size=5, loc_kernel_num=3)
+    params, _ = att_mod.attention_init(jax.random.PRNGKey(0), e_dim, dec_dim, cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (b, s, e_dim))
+    enc_len = jnp.asarray([37, 21])
+    mem = att_mod.prepare(params, cfg, enc, enc_len)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, w, dec_dim))
+    prev = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (b, w, 1, s)))
+    monkeypatch.setenv("E2E_ATT_STEP", "xla")
+    a1, c1 = att_mod.step_beam(params, cfg, q, mem, prev)
+    monkeypatch.setenv("E2E_ATT_STEP", "pallas")
+    a2, c2 = att_mod.step_beam(params, cfg, q, mem, prev)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=2e-5, atol=2e-5)

@@ -101,7 +101,9 @@ def test_two_process_real_loader_training_and_validate(tmp_path):
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: each worker compiles its whole executable set without
+        # the persistent cache (disabled under gloo) on 2 shared cores
+        out, _ = p.communicate(timeout=1200)
         outs.append(out.decode(errors="replace"))
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
