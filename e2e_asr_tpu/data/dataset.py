@@ -309,6 +309,35 @@ class BucketedLoader:
         offs = np.zeros(len(lens), np.int64)
         if len(lens) > 1:
             np.cumsum(lens[:-1], out=offs[1:])
+
+        # optional on-disk cache (E2E_CORPUS_CACHE=<dir>): synthetic corpora
+        # cost minutes of host CPU to regenerate per process; the flat int16
+        # buffer is content-addressed by the manifest (uids + lengths)
+        import hashlib
+        import os
+
+        cache_dir = os.environ.get("E2E_CORPUS_CACHE", "")
+        cache_path = None
+        if cache_dir:
+            sig = hashlib.sha1()
+            for it in self._items:
+                sig.update(it[0].uid.encode())
+                sig.update(str(it[0].n_samples).encode())
+            sig.update(str(total).encode())
+            if self._items:
+                # uids/lengths alone cannot distinguish codings of the same
+                # synthetic manifest (char vs formant share uids+durations);
+                # fold in one actual waveform
+                sig.update(quantize_i16(self._items[0][0].load()).tobytes())
+            cache_path = os.path.join(cache_dir, f"flat_{sig.hexdigest()[:16]}.npy")
+            if os.path.isfile(cache_path):
+                flat = np.load(cache_path, mmap_mode=None)
+                if flat.shape[0] == total and flat.dtype == np.int16:
+                    self._flat_offsets = offs.astype(np.int32)
+                    self.emit_offsets = True
+                    self._wav_cache.clear()
+                    self._cache_used = 0
+                    return flat, self._flat_offsets
         flat = np.zeros(total, np.int16)
 
         def fill(idx):
@@ -318,6 +347,11 @@ class BucketedLoader:
 
         with ThreadPoolExecutor(max_workers=max(self.num_workers, 4)) as ex:
             list(ex.map(fill, range(len(self._items))))
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}.npy"
+            np.save(tmp, flat)
+            os.replace(tmp, cache_path)
         self._flat_offsets = offs.astype(np.int32)
         self.emit_offsets = True
         # the flat buffer supersedes the per-utterance cache
