@@ -71,7 +71,12 @@ class Solver(BaseSolver):
         params, self.shapes = asr_mod.asr_init(key, self.feat_dim, self.vocab_size, cfg.model)
         ckpt = cfg.src.ckpt or self.paras.load
         restored = self.load_ckpt_payload(ckpt, {"params": params})
-        self.params = restored["params"]
+        # orbax restores HOST numpy arrays; without an explicit device_put
+        # every jitted decode call re-uploads all ~60 MB of weights through
+        # the H2D link (measured 2-3 s/batch on the ~50 MB/s axon tunnel —
+        # the real cause of round-3's 2.8 audio-s/s dev decode)
+        self.params = jax.device_put(restored["params"])
+        jax.block_until_ready(jax.tree.leaves(self.params)[0])
         self.verbose(f"Loaded ASR ckpt from {ckpt}")
 
         self.lm_params, self.lm_cfg = None, None
@@ -82,7 +87,9 @@ class Solver(BaseSolver):
             else:
                 self.lm_cfg = cfg.lm
             lm_p = lm_mod.lm_init(key, self.vocab_size, self.lm_cfg)
-            self.lm_params = self.load_ckpt_payload(cfg.decode.lm_path, {"params": lm_p})["params"]
+            self.lm_params = jax.device_put(
+                self.load_ckpt_payload(cfg.decode.lm_path, {"params": lm_p})["params"]
+            )
             self.verbose(f"Loaded RNNLM for shallow fusion (w={cfg.decode.lm_weight})")
 
         dcfg = cfg.decode
@@ -140,9 +147,11 @@ class Solver(BaseSolver):
         t_compile = self._prewarm(loader)
         t0 = time.time()
         audio_sec = 0.0
+        t_dev = 0.0
         n_utt = 0
         for batch in loader.epoch(0):
             max_step = self._max_step_for(batch.wav.shape[1])
+            t_b = time.time()
             res = self._decode(
                 self.params,
                 self.lm_params,
@@ -151,6 +160,7 @@ class Solver(BaseSolver):
                 max_step,
             )
             toks = np.asarray(res.tokens)
+            t_dev += time.time() - t_b  # dispatch+device+readback for this batch
             lens = np.asarray(res.lengths)
             scores = np.asarray(res.scores)
             text = np.asarray(batch.text)
@@ -193,6 +203,7 @@ class Solver(BaseSolver):
         wall = time.time() - t0
         self.verbose(
             f"[{split}] decoded {n_utt} utts | {mode} {err / max(tot,1):.4f} | "
-            f"{audio_sec / wall:.1f} audio-s/s | results -> {self.outdir}"
+            f"{audio_sec / wall:.1f} audio-s/s (compile {t_compile:.1f}s excl.; "
+            f"device {t_dev:.1f}s of {wall:.1f}s wall) | results -> {self.outdir}"
         )
         return err / max(tot, 1)

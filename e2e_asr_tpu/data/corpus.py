@@ -155,6 +155,67 @@ def _lowpass_noise(r: np.random.RandomState, n: int, sr: int, bw_hz: float) -> n
     return (x / s if s > 0 else x).astype(np.float32)
 
 
+def _speech_wave(text: str, n: int, sr: int, seed: int) -> np.ndarray:
+    """Transcript -> harmonic-rich 'speech-like' waveform.
+
+    Why a THIRD coding (round-4): narrowband formant tracks (see
+    _formant_wave) light only 1-3 mel bins — most of the spectrogram is
+    noise floor, conv filters see near-zero input variance, and VGG
+    optimization crawls at corpus scale (measured in BOTH this framework
+    and the torch twin). Real speech is broadband: an F0 impulse train
+    whose MANY harmonics are shaped by the formant envelope. Here each
+    char segment is glottal-pulse excitation (per-utterance F0 with
+    jitter) FFT-filtered by that char's two-formant Gaussian envelope on a
+    broadband floor, with short crossfades between segments. Dense energy
+    across the band + formant-peak identity + segment-edge temporal
+    structure = what 3x3 convs are built for.
+    """
+    r = np.random.RandomState(seed)
+    seg = max(1, n // max(len(text), 1))
+    f0 = float(r.uniform(110.0, 210.0))
+    # excitation: impulse train + aspiration noise (shared across segments
+    # so segment boundaries change only the FILTER, like articulation)
+    period = max(int(sr / f0), 8)
+    exc = 0.12 * r.randn(n).astype(np.float32)
+    exc[:: period] += 6.0
+    freqs_cache: dict = {}
+    out = np.zeros(n, np.float32)
+    chars = text if text else " "
+    fade = np.linspace(0.0, 1.0, min(80, seg), dtype=np.float32)  # 5 ms xfade
+    for j, ch in enumerate(chars):
+        s0, e0 = j * seg, (min(n, (j + 1) * seg) if j < len(chars) - 1 else n)
+        if s0 >= n:
+            break
+        m = e0 - s0
+        if m <= 0:
+            continue
+        if ch == " ":
+            out[s0:e0] = 0.02 * r.randn(m)
+            continue
+        f1, f2 = _char_formants(ch)
+        if m not in freqs_cache:
+            freqs_cache[m] = np.fft.rfftfreq(m, 1.0 / sr)
+        fr = freqs_cache[m]
+        env = (
+            np.exp(-0.5 * ((fr - f1) / 140.0) ** 2)
+            + 0.8 * np.exp(-0.5 * ((fr - f2) / 180.0) ** 2)
+            + 0.06
+        ) * np.exp(-fr / 4500.0)  # spectral tilt
+        spec = np.fft.rfft(exc[s0:e0]) * env
+        out[s0:e0] = np.fft.irfft(spec, m)
+    # crossfade segment boundaries (articulator-like continuity, no clicks)
+    k = len(fade)
+    for j in range(1, len(chars)):
+        s0 = j * seg
+        if s0 + k > n or s0 - k < 0:
+            continue
+        pre = out[s0 - k : s0].copy()
+        post = out[s0 : s0 + k].copy()
+        out[s0 : s0 + k] = fade * post + (1 - fade) * pre
+    s = float(np.std(out))
+    return (0.15 * out / s if s > 0 else out).astype(np.float32)
+
+
 def _formant_wave(text: str, n: int, sr: int, seed: int) -> np.ndarray:
     """Transcript -> two formant-band trajectories -> waveform.
 
@@ -241,6 +302,8 @@ def synthetic(
         n = int(dur * sample_rate)
 
         def make(text=text, words=tuple(words), n=n, seed=rng.randint(1 << 30)):
+            if audible and coding == "speech":
+                return _speech_wave(text, n, sample_rate, seed)
             if audible and coding == "formant":
                 return _formant_wave(text, n, sample_rate, seed)
             r = np.random.RandomState(seed)
@@ -277,12 +340,14 @@ def load_corpus(name: str, path: str, splits: Sequence[str], **kw) -> List[Utter
     """ref: src/data.py imports corpus.<name> by name."""
     if name == "librispeech":
         return librispeech(path, splits, **kw)
-    if name in ("synthetic", "synthetic_char", "synthetic_formant"):
+    if name in ("synthetic", "synthetic_char", "synthetic_formant", "synthetic_speech"):
         seed = {"train": 0, "dev": 1, "test": 2}
         if name == "synthetic_char":
             kw.setdefault("coding", "char")
         if name == "synthetic_formant":
             kw.setdefault("coding", "formant")
+        if name == "synthetic_speech":
+            kw.setdefault("coding", "speech")
         out: List[Utterance] = []
         for s in splits:
             base, _, n = s.partition(":")

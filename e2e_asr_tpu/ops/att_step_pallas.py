@@ -102,7 +102,10 @@ def _kernel(
 
 
 def _pick_bb(b: int) -> int:
-    for cand in (8, 4, 2):
+    # Mosaic requires the second-to-last block dim be divisible by 8 or
+    # equal to the full array dim (q/pa blocks are [W, bb, *]), so tiles
+    # must be multiples of 8; odd batches run as one full-batch cell.
+    for cand in (16, 8):
         if b % cand == 0 and cand <= b:
             return cand
     return b
