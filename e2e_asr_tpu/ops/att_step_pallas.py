@@ -101,14 +101,28 @@ def _kernel(
     jax.lax.fori_loop(0, w_beams, beam_body, 0)
 
 
-def _pick_bb(b: int) -> int:
+VMEM_BUDGET = 90 << 20  # leave headroom under the 100M scoped limit below
+
+
+def _fits(bb: int, s: int, dk: int, e_dim: int, kk: int) -> bool:
+    """Rough per-cell VMEM: k/v blocks double-buffered (grid-streamed),
+    locT resident, f32 e/f intermediates + fpre scratch."""
+    kv = 2 * 2 * bb * s * (dk + e_dim)  # bf16, double-buffered
+    loct = 2 * kk * s * s
+    inter = 2 * 4 * bb * s * dk  # e and f in f32
+    scr = 4 * kk * bb * s
+    return kv + loct + inter + scr + (8 << 20) < VMEM_BUDGET
+
+
+def _pick_bb(b: int, s: int, dk: int, e_dim: int, kk: int) -> int:
     # Mosaic requires the second-to-last block dim be divisible by 8 or
     # equal to the full array dim (q/pa blocks are [W, bb, *]), so tiles
     # must be multiples of 8; odd batches run as one full-batch cell.
-    for cand in (16, 8):
-        if b % cand == 0 and cand <= b:
+    cands = [c for c in (16, 8) if b % c == 0 and c <= b]
+    for cand in cands:
+        if _fits(cand, s, dk, e_dim, kk):
             return cand
-    return b
+    return min(cands) if cands else b
 
 
 @functools.partial(jax.jit, static_argnames=("temp", "interpret"))
@@ -140,7 +154,7 @@ def att_step_beam_loc(
     locT_p = _pad_axis(_pad_axis(locT, s, 1), s, 2).astype(dt)
     mask = (jnp.arange(s)[None, :] < enc_len[:, None]).astype(jnp.float32)
 
-    bb = _pick_bb(b)
+    bb = _pick_bb(b, s, dk, e_dim, kk)
     grid = (b // bb,)
     out = pl.pallas_call(
         functools.partial(_kernel, kk=kk, w_beams=w, temp=float(temp)),
@@ -165,6 +179,7 @@ def att_step_beam_loc(
             jax.ShapeDtypeStruct((w, b, e_dim), dt),
         ],
         scratch_shapes=[pltpu.VMEM((kk, bb, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         interpret=interpret,
     )(
         qt, pa, k_p, v_p, mask, locT_p,
