@@ -132,50 +132,78 @@ class Solver(BaseSolver):
         throughput can be reported without it."""
         t0 = time.time()
         dt = np.int16 if loader.wire_dtype == "int16" else np.float32
+        # dispatch every shape first (compiles serialize on the host; the
+        # first executions pipeline on the device), then fence each result.
+        # The fence must be a value READBACK: on the axon remote-TPU tunnel
+        # block_until_ready does NOT synchronize (bench.py header), and
+        # without it the queued prewarm executions drain into — and get
+        # billed to — the first real batches of the decode loop.
+        pending = []
         for bsz, n_samples, _ in loader.batch_shapes():
             wav = jnp.zeros((bsz, n_samples), dt)
             wl = jnp.full((bsz,), n_samples, np.int32)
-            res = self._decode(
-                self.params, self.lm_params, wav, wl, self._max_step_for(n_samples)
+            pending.append(
+                self._decode(
+                    self.params, self.lm_params, wav, wl, self._max_step_for(n_samples)
+                )
             )
-            jax.block_until_ready(res.scores)
+        for res in pending:
+            np.asarray(res.scores)
         return time.time() - t0
 
     def _decode_set(self, split: str, loader) -> float:
         cfg = self.config
         rows_out, rows_beam = [], []
-        t_compile = self._prewarm(loader)
-        t0 = time.time()
-        audio_sec = 0.0
-        t_dev = 0.0
-        n_utt = 0
-        for batch in loader.epoch(0):
-            max_step = self._max_step_for(batch.wav.shape[1])
-            t_b = time.time()
-            res = self._decode(
-                self.params,
-                self.lm_params,
-                jnp.asarray(batch.wav),
-                jnp.asarray(batch.wav_len),
-                max_step,
-            )
-            toks = np.asarray(res.tokens)
-            t_dev += time.time() - t_b  # dispatch+device+readback for this batch
-            lens = np.asarray(res.lengths)
-            scores = np.asarray(res.scores)
-            text = np.asarray(batch.text)
-            for i, uid in enumerate(batch.uids):
-                if not uid:
-                    continue
-                truth = self.tokenizer.decode(text[i])
-                best = self.tokenizer.decode(toks[i, 0, : lens[i, 0]])
-                rows_out.append((uid, truth, best))
-                for wi in range(toks.shape[1]):
-                    hyp = self.tokenizer.decode(toks[i, wi, : lens[i, wi]])
-                    rows_beam.append((uid, truth, hyp, float(scores[i, wi])))
-                n_utt += 1
-                audio_sec += float(batch.wav_len[i]) / cfg.data.audio.sample_rate
-            self.progress(f"[{split}] decoded {n_utt} utts")
+        from e2e_asr_tpu.data.prefetch import DevicePrefetcher
+
+        # Start host materialization + H2D BEFORE compiling: eval waveform
+        # loading overlaps the prewarm's compile wall, and the device
+        # transfer runs on the prefetch thread instead of serializing with
+        # (and, on few-core hosts, GIL-starving) the decode dispatch.
+        pf = DevicePrefetcher(
+            loader.epoch(0),
+            lambda b: (jnp.asarray(b.wav), jnp.asarray(b.wav_len)),
+            depth=2,
+        )
+        try:
+            t_compile = self._prewarm(loader)
+            t0 = time.time()
+            audio_sec = 0.0
+            t_dev = 0.0
+            t_rd = 0.0  # input wall: materialization the decode waited on
+            n_utt = 0
+            it = iter(pf)
+            while True:
+                t_r = time.time()
+                try:
+                    batch, (wav_dev, wl_dev) = next(it)
+                except StopIteration:
+                    break
+                t_rd += time.time() - t_r
+                max_step = self._max_step_for(batch.wav.shape[1])
+                t_b = time.time()
+                res = self._decode(
+                    self.params, self.lm_params, wav_dev, wl_dev, max_step
+                )
+                toks = np.asarray(res.tokens)
+                t_dev += time.time() - t_b  # dispatch+device+readback
+                lens = np.asarray(res.lengths)
+                scores = np.asarray(res.scores)
+                text = np.asarray(batch.text)
+                for i, uid in enumerate(batch.uids):
+                    if not uid:
+                        continue
+                    truth = self.tokenizer.decode(text[i])
+                    best = self.tokenizer.decode(toks[i, 0, : lens[i, 0]])
+                    rows_out.append((uid, truth, best))
+                    for wi in range(toks.shape[1]):
+                        hyp = self.tokenizer.decode(toks[i, wi, : lens[i, wi]])
+                        rows_beam.append((uid, truth, hyp, float(scores[i, wi])))
+                    n_utt += 1
+                    audio_sec += float(batch.wav_len[i]) / cfg.data.audio.sample_rate
+                self.progress(f"[{split}] decoded {n_utt} utts")
+        finally:
+            pf.close()
 
         os.makedirs(self.outdir, exist_ok=True)
         # per-split csvs (ref writes output.csv/beam.csv for the decoded set;
@@ -204,6 +232,7 @@ class Solver(BaseSolver):
         self.verbose(
             f"[{split}] decoded {n_utt} utts | {mode} {err / max(tot,1):.4f} | "
             f"{audio_sec / wall:.1f} audio-s/s (compile {t_compile:.1f}s excl.; "
-            f"device {t_dev:.1f}s of {wall:.1f}s wall) | results -> {self.outdir}"
+            f"device {t_dev:.1f}s + input {t_rd:.1f}s of {wall:.1f}s wall) | "
+            f"results -> {self.outdir}"
         )
         return err / max(tot, 1)
