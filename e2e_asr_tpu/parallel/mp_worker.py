@@ -22,6 +22,17 @@ import os
 import sys
 
 
+def _enable_gloo_cache(jax):
+    """Persistent compile cache for gloo-distributed CPU workers (see the
+    NOTE in main(): must be a dir populated ONLY by gloo workers)."""
+    cache = os.environ.get("E2E_MP_CACHE_DIR", "")
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def _tiny_config():
     from e2e_asr_tpu.config import Config
 
@@ -195,6 +206,7 @@ def main_loader(proc_id: int, nproc: int, port: int, outdir: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    _enable_gloo_cache(jax)
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nproc,
@@ -230,10 +242,13 @@ def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # NOTE: do NOT enable the persistent executable cache here — XLA:CPU AOT
-    # entries written by the (non-distributed) test process fail to load in
+    # NOTE: never share tests/.jax_test_cache here — XLA:CPU AOT entries
+    # written by the (non-distributed) test process fail to load in
     # gloo-distributed workers with a machine-feature mismatch
-    # (+prefer-no-scatter), aborting the run.
+    # (+prefer-no-scatter), aborting the run. A gloo-worker-only cache dir
+    # (E2E_MP_CACHE_DIR, set by tests/test_multiprocess.py) is safe: all
+    # its entries come from gloo-distributed workers.
+    _enable_gloo_cache(jax)
 
     import jax.numpy as jnp
     import numpy as np

@@ -25,30 +25,56 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_dp_grad_equivalence(tmp_path):
+def _run_workers(mode_args, nproc, tmp_path, timeout):
+    """Spawn nproc mp_worker processes; return their outputs.
+
+    stdout goes to FILES (a PIPE that fills while we communicate() with
+    worker 0 first would deadlock worker 1), workers share a gloo-only
+    persistent compile cache (entries written by gloo-distributed XLA:CPU
+    workers load fine in other gloo workers — it is only the
+    non-distributed test process's entries that mismatch), and on timeout
+    the workers are killed instead of orphaned.
+    """
     port = _free_port()
-    nproc = 2
-    procs = []
     env = dict(os.environ)
     env.pop("JAX_PLATFORM_NAME", None)
-    for pid in range(nproc):
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-m", "e2e_asr_tpu.parallel.mp_worker",
-                 str(pid), str(nproc), str(port), str(tmp_path)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    env["E2E_MP_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_test_cache_gloo"
+    )
+    procs, files = [], []
+    try:
+        for pid in range(nproc):
+            f = open(tmp_path / f"worker{pid}.out", "w+b")
+            files.append(f)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "e2e_asr_tpu.parallel.mp_worker",
+                     *mode_args, str(pid), str(nproc), str(port), str(tmp_path)],
+                    env=env,
+                    stdout=f,
+                    stderr=subprocess.STDOUT,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
             )
-        )
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out.decode(errors="replace"))
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = []
+        for f in files:
+            f.seek(0)
+            outs.append(f.read().decode(errors="replace"))
+            f.close()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed (rc={p.returncode}):\n{out}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_dp_grad_equivalence(tmp_path):
+    _run_workers([], 2, tmp_path, timeout=900)
 
     data = np.load(tmp_path / "grads.npz")
     n_devices = int(data["n_devices"])
@@ -83,30 +109,9 @@ def test_two_process_real_loader_training_and_validate(tmp_path):
     passes and checkpointing) across 2 jax.distributed processes completes
     without hanging, and its final dev summary matches a single-process run
     of the identical recipe."""
-    port = _free_port()
-    nproc = 2
-    procs = []
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORM_NAME", None)
-    for pid in range(nproc):
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-m", "e2e_asr_tpu.parallel.mp_worker",
-                 "loader", str(pid), str(nproc), str(port), str(tmp_path)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
-        )
-    outs = []
-    for p in procs:
-        # generous: each worker compiles its whole executable set without
-        # the persistent cache (disabled under gloo) on 2 shared cores
-        out, _ = p.communicate(timeout=1200)
-        outs.append(out.decode(errors="replace"))
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+    # generous: each worker compiles its whole executable set on 2 shared
+    # cores (cold gloo cache; warm repeats hit .jax_test_cache_gloo)
+    _run_workers(["loader"], 2, tmp_path, timeout=1500)
 
     import json
 
