@@ -171,6 +171,46 @@ def bench_train_maxfill(cfg, mesh, state, step) -> float:
     return b * N_SAMPLES / SR * iters / best / jax.device_count(), state, util
 
 
+def _precompile_shapes(cfg, mesh, state, step, loader, corpus):
+    """Compile every ladder executable CONCURRENTLY via lower().compile().
+
+    lower+compile never executes (no device contention, no donation of the
+    live TrainState); each thread's compile lands in the persistent cache,
+    so the epoch's real jit calls are cache hits. Concurrency overlaps the
+    remote compile server's walls — serial cold compiles of flagship-size
+    steps are ~3 min EACH and do not fit the stage budget."""
+    import concurrent.futures as cf
+
+    import jax
+
+    from e2e_asr_tpu.parallel import mesh as mesh_mod
+
+    def compile_one(shape):
+        bsz, n, l = shape
+        rng = np.random.RandomState(0)
+        text = np.zeros((bsz, l), np.int32)
+        text[:, : l - 1] = rng.randint(3, VOCAB, size=(bsz, l - 1))
+        text[:, l - 1] = 1
+        batch = mesh_mod.shard_batch(
+            mesh,
+            {
+                "wav_off": np.zeros((bsz,), np.int32),
+                "wav_len": np.full((bsz,), n, np.int32),
+                "text": text,
+                "text_len": np.full((bsz,), l, np.int32),
+            },
+        )
+        # the REAL corpus array: its shape+sharding are part of the
+        # executable signature — a stand-in would compile the wrong program
+        batch["corpus"] = corpus
+        step.lower(state, batch, jax.random.PRNGKey(0), n).compile()
+        return shape
+
+    shapes = loader.batch_shapes()
+    with cf.ThreadPoolExecutor(max_workers=len(shapes)) as ex:
+        list(ex.map(compile_one, shapes))
+
+
 def bench_train_realistic(cfg, mesh, state, step) -> float:
     """One cache-warm epoch of the production input path: BucketedLoader
     (mixed lengths, pad waste, bucket switching) + device-resident corpus +
@@ -187,15 +227,18 @@ def bench_train_realistic(cfg, mesh, state, step) -> float:
     utts = synthetic(n_utts=4608, min_sec=2.0, max_sec=16.3, seed=7)
     cfg.data.text.mode = "character"
     tok = build_tokenizer(cfg.data, utts)
-    # 7-bucket ladder, edges denser where the audio mass sits: round-4
+    # 4-bucket ladder, edges denser where the audio mass sits: round-4
     # counters attributed the realistic-vs-maxfill gap ENTIRELY to pad
     # waste (fill 0.671, input stall 0.006 with the old [816, 1632] pair;
-    # 0.759 with 5 even edges). More utts amortize per-bucket tail batches;
-    # the extra executables amortize via the persistent compilation cache.
+    # 0.759 with 5 even edges). Each bucket is one more COLD train-step
+    # compile (~3 min each through the remote compile server): a 7-bucket
+    # ladder blew the 540 s stage budget before its first epoch ended, so
+    # the ladder stays at 4 and the shapes are precompiled CONCURRENTLY
+    # (_precompile_shapes) to overlap the server-side compile walls.
     loader = BucketedLoader(
         utts, tok, batch_size=128,
-        buckets_frames=[336, 560, 784, 1008, 1232, 1432, FRAMES],
-        token_buckets=[40, 64, 88, 104, 128, 148, L_TOK],
+        buckets_frames=[480, 928, 1280, FRAMES],
+        token_buckets=[56, 96, 128, L_TOK],
         win=400, shift=160,
         half_batch_len=4000,  # no halving: B=128 executables for all buckets
         shuffle=True, num_workers=4,
@@ -203,6 +246,7 @@ def bench_train_realistic(cfg, mesh, state, step) -> float:
     flat, _ = loader.flat_corpus()
     corpus = jax.device_put(flat, mesh_mod.replicated(mesh))
     corpus.block_until_ready()
+    _precompile_shapes(cfg, mesh, state, step, loader, corpus)
 
     def put(b):
         d = mesh_mod.shard_batch(
