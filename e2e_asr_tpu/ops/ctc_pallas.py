@@ -60,8 +60,11 @@ def _kernel(inlen_ref, lablen_ref, lp_ext_ref, skip_ref, nll_ref, gamma_ref, *, 
     is a full [bc, S_pad] VPU vector op (batch on sublanes, lattice on
     lanes) — per-utterance length variation is handled by per-row masks,
     not control flow."""
-    inlen = inlen_ref[:]  # [bc, 1] i32
-    lablen = lablen_ref[:]
+    # length vectors arrive as the FULL [b, 1] arrays (a (bc, 1) block is
+    # Mosaic-illegal when bc < 8); slice this grid step's chunk by pid
+    pid = pl.program_id(0)
+    inlen = inlen_ref[pl.ds(pid * bc, bc), :]  # [bc, 1] i32
+    lablen = lablen_ref[pl.ds(pid * bc, bc), :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (bc, s_pad), 1)
     skip = skip_ref[:, 0, :]  # [bc, S] 1.0 where the s-2 skip transition is legal
     neg = jnp.full((bc, s_pad), NEG, jnp.float32)
@@ -90,7 +93,7 @@ def _kernel(inlen_ref, lablen_ref, lp_ext_ref, skip_ref, nll_ref, gamma_ref, *, 
         jnp.where((lane == end - 1) & (lablen > 0), alpha_last, NEG), axis=1, keepdims=True
     )
     log_z = _lse(pick_end, pick_pre)  # [bc, 1]
-    nll_ref[:] = -log_z
+    nll_ref[pl.ds(pid * bc, bc), :] = -log_z
 
     # ---------------- backward: beta rows; gamma = alpha + beta - logZ.
     # Absolute-time loop t = T-2 .. 0 for the whole chunk; rows freeze to
@@ -134,6 +137,15 @@ def _ctc_pallas_raw(
     """
     b0 = lp_ext.shape[0]
     bc = batch_chunk
+    # VMEM-aware chunk: the lp_ext input block and gamma output block are
+    # each double-buffered across grid steps => ~4 * bc * T * S_pad floats
+    # of scoped VMEM. The default bc=8 first overflows the ~95 MB scoped
+    # limit at the 960h recipe's big bucket (T=768, S_pad=1152: 113 MB);
+    # halving bc trades grid steps for fit, which the recursion-bound
+    # kernel barely notices.
+    per_row = 4 * lp_ext.shape[1] * lp_ext.shape[2] * 4
+    while bc > 1 and bc * per_row > 88e6:
+        bc //= 2
     b = ((b0 + bc - 1) // bc) * bc
     if b != b0:
         pad = ((0, b - b0),)
@@ -147,13 +159,16 @@ def _ctc_pallas_raw(
         functools.partial(_kernel, t_len=t_len, s_pad=s_pad, bc=bc),
         grid=(b // bc,),
         in_specs=[
-            pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # lengths ride as FULL [b, 1] arrays: (bc, 1) blocks violate
+            # Mosaic's (8, 128)-divisibility once the VMEM-aware chunk
+            # drops below 8; the kernel slices its rows by program_id
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, t_len, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, 1, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, t_len, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(

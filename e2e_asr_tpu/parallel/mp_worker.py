@@ -171,7 +171,9 @@ class _Paras:
         self.load = None
         self.seed = 0
         self.njobs = 0
-        self.verbose = False
+        # worker stdout goes to per-worker files (tests) — timestamps there
+        # are the only way to see WHERE a slow 2-core gloo run spends time
+        self.verbose = os.environ.get("E2E_MP_VERBOSE", "") == "1"
         self.auto_resume = False
 
 

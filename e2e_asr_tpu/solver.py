@@ -105,12 +105,13 @@ class BaseSolver:
         """
         import orbax.checkpoint as ocp
 
-        # state is replicated (data-parallel), so process 0 alone holds the
-        # full tree; other processes must not race the same ckpt directory.
-        # All processes reach this call (validation summaries are identical
-        # by construction — bin/train_asr.validate aggregates globally).
-        if jax.process_index() != 0:
-            return
+        # EVERY process must make this call: orbax's AsyncCheckpointer
+        # barriers across jax.distributed processes on save commit, so a
+        # proc-0-only save deadlocks — proc 0 waits in a barrier no one
+        # joins while the others hang in the next train step's collective
+        # (observed live: both 2-process loader workers frozen right after
+        # the first validate). Orbax's own primary-host logic keeps the
+        # actual file writes on process 0.
         path = os.path.abspath(os.path.join(self.ckpdir, fname))
         ckptr = self._checkpointer()
         payload = {
@@ -126,8 +127,9 @@ class BaseSolver:
         ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
         if block:
             ckptr.wait_until_finished()
-        with open(path + ".meta", "w") as f:
-            f.write(f"{metric} {score}\nglobal_step {int(state.step)}\n")
+        if jax.process_index() == 0:
+            with open(path + ".meta", "w") as f:
+                f.write(f"{metric} {score}\nglobal_step {int(state.step)}\n")
         self.verbose(
             f"Saved checkpoint (step = {int(state.step)}, {metric} = {score:.2f}) -> {fname}"
         )
