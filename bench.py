@@ -427,6 +427,16 @@ def main():
     _result["extra"].update(setup.get("util", {}))
     emit()  # primary metric is now on the record whatever happens next
 
+    # decode BEFORE the train-state stages: it builds its own params, so it
+    # depends on nothing — if the realistic stage ever overruns its budget
+    # on a slower host (it wedges the tunnel and skips everything after),
+    # the decode number is already on the record
+    if not wedged:
+        decode, wedged = _run_stage("decode", lambda: bench_decode(cfg))
+        if decode is not None:
+            _result["extra"]["decode_audio_sec_per_sec_chip"] = round(decode, 2)
+            emit()
+
     if "mps" in setup and not wedged:
 
         def stage_realistic():
@@ -443,12 +453,6 @@ def main():
             emit()
         elif not wedged:
             setup.pop("mps", None)  # stage died: its donated-state handoff is void
-
-    if not wedged:
-        decode, wedged = _run_stage("decode", lambda: bench_decode(cfg))
-        if decode is not None:
-            _result["extra"]["decode_audio_sec_per_sec_chip"] = round(decode, 2)
-            emit()
 
     if "mps" in setup and not wedged:
 
