@@ -22,6 +22,7 @@ lax.scan reference and torch.nn.CTCLoss including gradients.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -144,7 +145,8 @@ def _ctc_pallas_raw(
     # halving bc trades grid steps for fit, which the recursion-bound
     # kernel barely notices.
     per_row = 4 * lp_ext.shape[1] * lp_ext.shape[2] * 4
-    while bc > 1 and bc * per_row > 88e6:
+    limit = float(os.environ.get("E2E_CTC_VMEM_LIMIT", 88e6))  # test hook
+    while bc > 1 and bc * per_row > limit:
         bc //= 2
     b = ((b0 + bc - 1) // bc) * bc
     if b != b0:

@@ -106,3 +106,31 @@ def test_ctc_padding_invariance():
     a = ctc_loss(lp, jnp.asarray([10]), labels, jnp.asarray([3]), impl="scan")
     b = ctc_loss(lp_padded, jnp.asarray([10]), labels, jnp.asarray([3]), impl="scan")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_ctc_pallas_small_chunk_matches_scan(monkeypatch):
+    """The VMEM-aware chunk picker can drop the batch chunk below 8 (960h
+    bucket: T=768, S_pad=1152 -> bc=4), which switches the length vectors
+    to full-array specs sliced by program_id. Force that path via the
+    E2E_CTC_VMEM_LIMIT test hook and pin value+grad parity vs the scan."""
+    rng = np.random.RandomState(7)
+    logits, log_probs, input_len, labels, label_len = make_case(rng)
+    monkeypatch.setenv("E2E_CTC_VMEM_LIMIT", "1")  # -> bc=1, pid-sliced path
+
+    def loss(lp):
+        return jnp.sum(
+            ctc_loss(lp, jnp.asarray(input_len), jnp.asarray(labels),
+                     jnp.asarray(label_len), impl="pallas")
+        )
+
+    v, g = jax.value_and_grad(loss)(log_probs)
+
+    def loss_scan(lp):
+        return jnp.sum(
+            ctc_loss(lp, jnp.asarray(input_len), jnp.asarray(labels),
+                     jnp.asarray(label_len), impl="scan")
+        )
+
+    v2, g2 = jax.value_and_grad(loss_scan)(log_probs)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-3, atol=1e-4)
