@@ -51,6 +51,16 @@ _result = {
     "value": None,
     "unit": "audio-seconds/s/chip",
     "vs_baseline": None,
+    # the artifact must carry its own caveats (round-4 verdict item 8):
+    "note": (
+        "vs_baseline is vs REAL-TIME audio (1.0 = processed as fast as it plays) — "
+        "the reference publishes no throughput and its mount is empty, so no "
+        "reference comparison exists; sol_compute is vs the MEASURED 77 bf16 TF/s "
+        "envelope of this chip+tunnel (nominal v5e: 197), sol_memory vs NOMINAL "
+        "819 GB/s HBM; per-stage sol values in extra.stages are each vs that "
+        "stage's OWN ceiling (latency model for recurrences, compute/memory "
+        "roofline otherwise)"
+    ),
     "extra": {},
 }
 
@@ -185,21 +195,36 @@ def _precompile_shapes(cfg, mesh, state, step, loader, corpus):
 
     from e2e_asr_tpu.parallel import mesh as mesh_mod
 
+    # one REAL materialized batch pins the signature the dummies must match:
+    # key set / dtype / rank drift would silently turn every precompile into
+    # a wasted compile plus a serial ~3-min cold compile inside the stage
+    # budget (advisor round 4). epoch(0) is deterministic; re-iterated later.
+    probe = next(iter(loader.epoch(0)))
+    probe_sig = {
+        "wav_off": (probe.wav_off.dtype, probe.wav_off.ndim),
+        "wav_len": (probe.wav_len.dtype, probe.wav_len.ndim),
+        "text": (probe.text.dtype, probe.text.ndim),
+        "text_len": (probe.text_len.dtype, probe.text_len.ndim),
+    }
+
     def compile_one(shape):
         bsz, n, l = shape
         rng = np.random.RandomState(0)
         text = np.zeros((bsz, l), np.int32)
         text[:, : l - 1] = rng.randint(3, VOCAB, size=(bsz, l - 1))
         text[:, l - 1] = 1
-        batch = mesh_mod.shard_batch(
-            mesh,
-            {
-                "wav_off": np.zeros((bsz,), np.int32),
-                "wav_len": np.full((bsz,), n, np.int32),
-                "text": text,
-                "text_len": np.full((bsz,), l, np.int32),
-            },
-        )
+        host = {
+            "wav_off": np.zeros((bsz,), np.int32),
+            "wav_len": np.full((bsz,), n, np.int32),
+            "text": text,
+            "text_len": np.full((bsz,), l, np.int32),
+        }
+        for k, (dt, nd) in probe_sig.items():
+            assert host[k].dtype == dt and host[k].ndim == nd, (
+                f"precompile dummy batch field {k} ({host[k].dtype}, ndim "
+                f"{host[k].ndim}) drifted from the loader's ({dt}, ndim {nd})"
+            )
+        batch = mesh_mod.shard_batch(mesh, host)
         # the REAL corpus array: its shape+sharding are part of the
         # executable signature — a stand-in would compile the wrong program
         batch["corpus"] = corpus

@@ -161,6 +161,22 @@ def forward(
         fs == "pallas"
         or (fs == "auto" and decoder_pallas.auto_select(cfg, train, enc.shape[1]))
     )
+    if (
+        not use_fused
+        and fs != "scan"
+        and jax.default_backend() == "tpu"
+        and not decoder_pallas.supported(cfg, train)
+    ):
+        from e2e_asr_tpu.utils.misc import warn_once
+
+        a = cfg.attention
+        warn_once(
+            "decoder_scan_fallback",
+            "decoder scan: config outside the fused Pallas kernel's envelope "
+            f"(attention mode={a.mode}, num_head={a.num_head}, v_proj={a.v_proj}, "
+            f"decoder module={cfg.decoder.module}/layer={cfg.decoder.layer}) -> "
+            "lax.scan XLA path (slower; see BASELINE.md decoder kernel status)",
+        )
     if use_fused:
         att_logits, aligns, hiddens = decoder_pallas.run_decode_scan(
             params, cfg, enc, enc_len, teacher_in, coins,

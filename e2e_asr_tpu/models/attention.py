@@ -191,6 +191,15 @@ def step_beam(
         from e2e_asr_tpu.ops import att_step_pallas
 
         on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and not att_step_pallas.supported(cfg, params):
+            from e2e_asr_tpu.utils.misc import warn_once
+
+            warn_once(
+                "att_step_fallback",
+                "attention step: config outside the per-step Pallas kernel's "
+                f"envelope (mode={cfg.mode}, num_head={cfg.num_head}, "
+                f"v_proj={'proj_v' in params}) -> XLA path (slower beam decode)",
+            )
         if att_step_pallas.supported(cfg, params) and (
             impl == "pallas" or (impl == "auto" and on_tpu)
         ):

@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from e2e_asr_tpu.ops.ctc import extend_labels
 
+# scoped-VMEM ceiling passed to the Mosaic compiler for this kernel; the
+# batch-chunk heuristic in _ctc_pallas_raw budgets against THIS constant
+_VMEM_LIMIT_BYTES = int(100e6)
+
 NEG = -1.0e30
 BIG = 1.0e29  # nll threshold meaning "infeasible"
 
@@ -145,7 +149,13 @@ def _ctc_pallas_raw(
     # halving bc trades grid steps for fit, which the recursion-bound
     # kernel barely notices.
     per_row = 4 * lp_ext.shape[1] * lp_ext.shape[2] * 4
-    limit = float(os.environ.get("E2E_CTC_VMEM_LIMIT", 88e6))  # test hook
+    # Heuristic budget derived from the kernel's compiler VMEM limit below
+    # (single constant, cannot drift): leave ~12% headroom for the lengths
+    # blocks + Mosaic bookkeeping. E2E_CTC_VMEM_LIMIT is a TRACE-TIME test
+    # hook: the chosen bc is baked into the jit-cached executable (cache key
+    # is shapes only), so changing the env var after a shape has compiled
+    # in this process has no effect on that shape.
+    limit = float(os.environ.get("E2E_CTC_VMEM_LIMIT", _VMEM_LIMIT_BYTES * 0.88))
     while bc > 1 and bc * per_row > limit:
         bc //= 2
     b = ((b0 + bc - 1) // bc) * bc
@@ -178,7 +188,7 @@ def _ctc_pallas_raw(
             jax.ShapeDtypeStruct((b, t_len, s_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(100e6),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(

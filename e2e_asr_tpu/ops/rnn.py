@@ -153,6 +153,24 @@ def bidir(
     # for such layers. Explicit impl='pallas' keeps the kernel (tests).
     lane_ok = in_dim % 128 == 0
     gh_lane_ok = wh.shape[-1] % 128 == 0  # GH=4H must be lane-aligned too
+    if _use_pallas(impl, cell) and impl == "auto" and not (lane_ok and gh_lane_ok):
+        from e2e_asr_tpu.utils.misc import warn_once
+
+        if not gh_lane_ok:
+            # v1 kernel needs GH alignment too -> full lax.scan fallback
+            warn_once(
+                f"rnn_fused_fallback_{in_dim}_{wh.shape[-1]}",
+                f"bidir LSTM: gate dim 4H={wh.shape[-1]} not 128-lane-aligned "
+                "-> lax.scan path instead of the fused Pallas recurrence "
+                "(slower; pick hidden dims that are multiples of 32)",
+            )
+        else:
+            warn_once(
+                f"rnn_fusedproj_fallback_{in_dim}",
+                f"bidir LSTM: input dim {in_dim} not 128-lane-aligned -> v1 "
+                "Pallas recurrence with xw materialized in HBM instead of the "
+                "fused-projection kernel (extra HBM traffic)",
+            )
     if (
         _use_pallas(impl, cell)
         and impl != "pallas_xw"

@@ -228,6 +228,89 @@ def main_loader(proc_id: int, nproc: int, port: int, outdir: str) -> None:
     jax.distributed.shutdown()
 
 
+def _eval_config():
+    """Decode recipe over the tiny synthetic corpus: 8 dev utts in 4
+    batches of 2 so a 2-process run actually exercises the round-robin
+    batch shard (bin/test_asr.py --multihost --test semantics)."""
+    cfg = _loader_config()
+    cfg.data.corpus.test_split = []  # decode the dev split only (speed)
+    cfg.decode.beam_size = 4
+    cfg.decode.batch_size = 2
+    cfg.decode.ctc_weight = 0.0
+    cfg.decode.lm_weight = 0.0
+    cfg.decode.max_len_ratio = 0.3
+    return cfg
+
+
+def run_eval_solver(outdir: str, name: str):
+    """Init deterministic params, save them as a (collective, in the
+    multi-process case) orbax ckpt, then run the REAL eval solver.
+    Returns ({split: er}, outdir-of-results)."""
+    import jax
+
+    from e2e_asr_tpu.bin.test_asr import Solver as TestSolver
+    from e2e_asr_tpu.data import corpus as corpus_mod
+    from e2e_asr_tpu.data.dataset import build_tokenizer
+    from e2e_asr_tpu.models import asr as asr_mod
+
+    cfg = _eval_config()
+    c = cfg.data.corpus
+    utts = corpus_mod.load_corpus(c.name, c.path, c.train_split)
+    tok = build_tokenizer(cfg.data, utts)
+    params, _ = asr_mod.asr_init(
+        jax.random.PRNGKey(0), cfg.data.audio.output_dim, tok.vocab_size, cfg.model
+    )
+
+    import orbax.checkpoint as ocp
+
+    ckpt_path = os.path.abspath(os.path.join(outdir, "ckpt_shared", "init"))
+    ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    # every process calls save: the commit barriers across jax.distributed
+    # processes (solver.py save_checkpoint NOTE)
+    ckptr.save(ckpt_path, args=ocp.args.StandardSave({"params": jax.device_get(params)}), force=True)
+    ckptr.wait_until_finished()
+
+    cfg.src.ckpt = ckpt_path
+    paras = _Paras(outdir, name)
+    solver = TestSolver(cfg, paras, "test")
+    solver.load_data()
+    solver.set_model()
+    results = solver.exec()
+    return results, solver.outdir
+
+
+def main_eval(proc_id: int, nproc: int, port: int, outdir: str) -> None:
+    """Worker mode 3: multi-process beam-decode of the dev split — proves
+    --multihost --test shards batches, merges csvs and aggregates ER."""
+    flags = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append("--xla_force_host_platform_device_count=4")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _enable_gloo_cache(jax)
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == nproc
+
+    import json
+
+    results, resdir = run_eval_solver(outdir, f"mpeval{nproc}")
+    # every process writes its view: the test asserts they agree (the ER is
+    # corpus-level after allsum_scalars, identical on all processes)
+    with open(os.path.join(outdir, f"eval_summary_p{proc_id}.json"), "w") as f:
+        json.dump({"results": {k: float(v) for k, v in results.items()}, "resdir": resdir}, f)
+    jax.distributed.shutdown()
+
+
 def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
     # env must be staged before the first backend touch. NOTE: in this
     # sandbox the axon TPU plugin overrides the JAX_PLATFORMS *env var*;
@@ -307,5 +390,7 @@ def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
 if __name__ == "__main__":
     if sys.argv[1] == "loader":
         main_loader(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+    elif sys.argv[1] == "eval":
+        main_eval(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
     else:
         main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

@@ -130,9 +130,11 @@ class BaseSolver:
         if jax.process_index() == 0:
             with open(path + ".meta", "w") as f:
                 f.write(f"{metric} {score}\nglobal_step {int(state.step)}\n")
-        self.verbose(
-            f"Saved checkpoint (step = {int(state.step)}, {metric} = {score:.2f}) -> {fname}"
-        )
+            # only proc 0 logs: every process calls save (barrier above), but
+            # N identical 'Saved checkpoint' lines per save is noise
+            self.verbose(
+                f"Saved checkpoint (step = {int(state.step)}, {metric} = {score:.2f}) -> {fname}"
+            )
 
     def finish_checkpoints(self) -> None:
         if BaseSolver._ckptr is not None:

