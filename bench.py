@@ -44,7 +44,14 @@ N_SAMPLES = FRAMES * 160 + 240
 L_TOK = 160
 VOCAB = 31
 
-STAGE_BUDGET_S = {"maxfill": 480.0, "realistic": 540.0, "decode": 360.0, "aligned": 420.0}
+STAGE_BUDGET_S = {
+    "maxfill": 480.0,
+    "realistic": 540.0,
+    "decode": 360.0,
+    "aligned": 420.0,
+    "b960": 540.0,
+    "stages": 480.0,
+}
 
 _result = {
     "metric": "train_audio_sec_per_sec_chip",
@@ -252,20 +259,24 @@ def bench_train_realistic(cfg, mesh, state, step) -> float:
     utts = synthetic(n_utts=4608, min_sec=2.0, max_sec=16.3, seed=7)
     cfg.data.text.mode = "character"
     tok = build_tokenizer(cfg.data, utts)
-    # 4-bucket ladder, edges denser where the audio mass sits: round-4
-    # counters attributed the realistic-vs-maxfill gap ENTIRELY to pad
-    # waste (fill 0.671, input stall 0.006 with the old [816, 1632] pair;
-    # 0.759 with 5 even edges). Each bucket is one more COLD train-step
-    # compile (~3 min each through the remote compile server): a 7-bucket
-    # ladder blew the 540 s stage budget before its first epoch ended, so
-    # the ladder stays at 4 and the shapes are precompiled CONCURRENTLY
-    # (_precompile_shapes) to overlap the server-side compile walls.
+    # Round-5 ladder (verdict item 3): 6 edges fitted to the uniform
+    # 2-16.3 s duration mass (expected fill ~0.89 vs 0.798 with the
+    # round-4 4-bucket ladder) + PER-BUCKET batch sizes — short buckets
+    # underfill the chip at the global B=128, so they run bigger batches
+    # (B chosen so B*frames stays near the max-fill operating point while
+    # the fused-recurrence backward's VMEM tiles still fit; B rows enter
+    # the kernels as 2B and must stay a sublane multiple). Every bucket is
+    # one more executable: all are compiled CONCURRENTLY up front
+    # (_precompile_shapes) into the persistent cache.
     loader = BucketedLoader(
-        utts, tok, batch_size=128,
-        buckets_frames=[480, 928, 1280, FRAMES],
-        token_buckets=[56, 96, 128, L_TOK],
+        utts, tok, batch_size=[192, 192, 192, 176, 144, 128],
+        buckets_frames=[448, 704, 960, 1216, 1440, FRAMES],
+        # fitted to the corpus: max tokens per bucket are [38,53,72,96,103,
+        # 118] — round-4's [56,96,128,160] ladder oversized every decoder
+        # scan (cost ~ L)
+        token_buckets=[40, 56, 72, 96, 104, 120],
         win=400, shift=160,
-        half_batch_len=4000,  # no halving: B=128 executables for all buckets
+        half_batch_len=4000,  # no halving: full-B executables for all buckets
         shuffle=True, num_workers=4,
     )
     flat, _ = loader.flat_corpus()
@@ -359,6 +370,60 @@ def bench_train_aligned(cfg, mesh, state, step):
         float(m["loss"])  # honest fence
         best = min(best, time.time() - t0)
     return b * n / SR * iters / best / jax.device_count(), state, None
+
+
+def bench_train_960h(cfg, mesh, state, step):
+    """The acceptance corpus's big-bucket regime (round-4 verdict item 2:
+    960h was timed once by hand and appeared in no bench stage, so
+    regressions there were invisible). B=32 — double the reference's
+    HALF_BATCHSIZE-derived 16 — fits since the CTC lattice kernel batch-
+    chunks itself under its VMEM budget (ops/ctc_pallas.py)."""
+    import jax
+
+    from e2e_asr_tpu.parallel import mesh as mesh_mod
+
+    frames, l_tok, b = 3056, 520, 32
+    n = frames * 160 + 240
+    rng = np.random.RandomState(0)
+    text = np.zeros((b, l_tok), np.int32)
+    text[:, : l_tok - 1] = rng.randint(3, VOCAB, size=(b, l_tok - 1))
+    text[:, l_tok - 1] = 1
+    batch = mesh_mod.shard_batch(
+        mesh,
+        {
+            "wav": (rng.randn(b, n) * 0.1).astype(np.float32),
+            "wav_len": np.full((b,), n, np.int32),
+            "text": text,
+            "text_len": np.full((b,), l_tok, np.int32),
+        },
+    )
+    state, m = step(state, batch, jax.random.PRNGKey(0), 0)  # compile
+    float(m["loss"])
+    iters = 6
+    best = float("inf")
+    for trial in range(2):
+        t0 = time.time()
+        for i in range(iters):
+            state, m = step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(11 + trial), i), 0
+            )
+        float(m["loss"])  # honest fence
+        best = min(best, time.time() - t0)
+    return b * n / SR * iters / best / jax.device_count(), state, {
+        "b960_step_ms": round(best / iters * 1e3, 1),
+        "b960_batch": b,
+    }
+
+
+def bench_stages(cfg):
+    """Per-stage {ms, ceiling_ms, sol} at the flagship shape — every stage
+    against its OWN speed-of-light (round-4 verdict item 1). Standalone
+    jitted programs (each pays its own dispatch; inside the fused step XLA
+    overlaps them — BASELINE.md round-4 note)."""
+    from e2e_asr_tpu.utils import stages as stages_mod
+
+    measured = stages_mod.measure_stages(cfg, 128, FRAMES, L_TOK, VOCAB, iters=3)
+    return stages_mod.stage_report(cfg, 128, FRAMES, L_TOK, VOCAB, measured)
 
 
 def bench_decode(cfg) -> float:
@@ -490,6 +555,29 @@ def main():
         aligned, wedged = _run_stage("aligned", stage_aligned)
         if aligned is not None:
             _result["extra"]["train_aligned_audio_sec_per_sec_chip"] = round(aligned, 2)
+            emit()
+        elif not wedged:
+            setup.pop("mps", None)
+
+    if "mps" in setup and not wedged:
+
+        def stage_b960():
+            mesh, state, step = setup["mps"]
+            thr, state, extras = bench_train_960h(cfg, mesh, state, step)
+            setup["mps"] = (mesh, state, step)
+            setup["b960"] = extras
+            return thr
+
+        b960, wedged = _run_stage("b960", stage_b960)
+        if b960 is not None:
+            _result["extra"]["train_960h_bucket_audio_sec_per_sec_chip"] = round(b960, 2)
+            _result["extra"].update(setup.get("b960", {}))
+            emit()
+
+    if not wedged:
+        stages, wedged = _run_stage("stages", lambda: bench_stages(cfg))
+        if stages is not None:
+            _result["extra"]["stages"] = stages
             emit()
     if wedged:
         print("# a stage timed out with its thread live; later TPU stages skipped", file=sys.stderr, flush=True)

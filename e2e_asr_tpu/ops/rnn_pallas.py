@@ -247,21 +247,29 @@ def _lstm_seq_bwd_call(xw, mask, wh, ys, c_out, dy):
 
 
 # ===========================================================================
-# v2: fused-projection bidirectional LSTM (the input projection x@Wx runs
-# INSIDE the kernel, block-batched on the MXU).
+# v2/v3: fused-projection bidirectional LSTM (the input projection x@Wx
+# runs INSIDE the kernel, block-batched on the MXU).
 #
-# Motivation (measured on this chip — see BASELINE.md): effective HBM
-# bandwidth is ~85 GB/s read / ~54 GB/s write, and the v1 pipeline
+# v2 motivation (measured on this chip — see BASELINE.md): the v1 pipeline
 # (XLA matmul materializes xw [T, 2B, 4H] = 273 MB/layer, the kernel
-# streams it back in) is ~100% HBM-bound: writing + re-reading xw costs
-# more than every FLOP in the layer. v2 streams x itself (68 MB, read
-# twice: once per direction through a time-reversed index map), projects
-# each TS-step block through one [TS*B, D]x[D, 4H] MXU matmul into VMEM
-# scratch, and never materializes xw in HBM. The backward kernel likewise
-# computes dx / dWx / db in-block instead of emitting dxw for outer
-# autodiff, and rebuilds c from per-block checkpoints (c_out is no longer
-# streamed at all) with gate activations cached in VMEM across the
-# two in-block sweeps.
+# streams it back in) paid HBM write+read of xw; v2 streams x itself and
+# projects each TS-step block through one [TS*B, D]x[D, 4H] MXU matmul
+# into VMEM scratch.
+#
+# v3 (round 5): the v2 BACKWARD rematerialized everything — an in-block
+# forward sweep recomputed the input projections AND the gate activations
+# before the reverse sweep. Measured per-step slopes at the flagship shape
+# (tools/exp_rnn_floor.py, rows=256, H=320, D=1280, one v5e): fwd
+# 4.8 us/step but fwd+bwd 28.6 us/step — the backward was ~5x the forward,
+# and a pure dependent-matmul chain probe showed the serial latency floor
+# is ~0 marginal (both T=408 and T=816 run in ~6 ms): the kernel is bound
+# by per-step COMPUTE, not serial latency, and the remat sweep's xproj
+# (840 MF/step) + hidden matmul (210 MF/step) are a third of the backward
+# FLOPs. In a latency/compute-bound kernel the DMA engines are idle, so
+# streaming residuals out of the forward pass is free: v3's forward also
+# emits the gate activations (i,f,g,o) and the c stream; the backward is a
+# single reverse sweep (dgates on the VPU, one serial dh matmul, per-step
+# dWh accumulate) plus block-batched dx/dWx/db matmuls.
 # ===========================================================================
 
 TS_FUSED = 8
@@ -280,14 +288,12 @@ def _cell_f32(xw_cat, h, c, wh, d_dirs, b_rows, h_dim):
 
 def _fused_fwd_kernel(
     xf_ref, xr_ref, mf_ref, mr_ref, wx_ref, b_ref, wh_ref,
-    ys_ref, cck_ref, h_scr, c_scr, xwf_scr, xwr_scr, *, ts, b_rows, h_dim,
+    ys_ref, c_ref, acts_ref, h_scr, c_scr, xwf_scr, xwr_scr, *, ts, b_rows, h_dim,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
-
-    cck_ref[0] = c_scr[:]  # carry at block entry (bwd recompute seed)
 
     d = xf_ref.shape[-1]
     wx = wx_ref[:]
@@ -317,20 +323,24 @@ def _fused_fwd_kernel(
             [xwf_scr[j], xwr_scr[ts - 1 - j]], axis=0
         ).astype(jnp.float32)
         h, c = h_scr[:], c_scr[:]
-        _, _, _, _, c2, h2 = _cell_f32(xw_cat, h, c, wh, 2, b_rows, h_dim)
+        i, f, g, o, c2, h2 = _cell_f32(xw_cat, h, c, wh, 2, b_rows, h_dim)
         m = jnp.concatenate([mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0) > 0
         h_new = jnp.where(m, h2.astype(h.dtype), h)
         c_new = jnp.where(m, c2.astype(c.dtype), c)
         h_scr[:] = h_new
         c_scr[:] = c_new
         ys_ref[j] = jnp.where(m, h2, 0.0).astype(ys_ref.dtype)
+        # v3 residual streams (free DMA under the compute-bound loop):
+        # frozen c carry (c_prev/tanh source) + gate activations
+        c_ref[j] = c_new.astype(c_ref.dtype)
+        acts_ref[j] = jnp.concatenate([i, f, g, o], axis=-1).astype(acts_ref.dtype)
 
 
 def _fused_bwd_kernel(
-    xf_ref, xr_ref, mf_ref, mr_ref, wx_ref, b_ref, wh_ref,
-    ys_ref, ysp_ref, cck_ref, dy_ref,
+    xf_ref, xr_ref, mf_ref, mr_ref, wx_ref, wh_ref,
+    ys_ref, ysp_ref, c_ref, cp_ref, acts_ref, dy_ref,
     dxf_ref, dxr_ref, dwx_ref, dwh_ref, db_ref,
-    xwf_scr, xwr_scr, acts_scr, tc_scr, cp_scr, dgf_scr, dgr_scr, dh_scr, dc_scr,
+    dgf_scr, dgr_scr, dh_scr, dc_scr,
     *, ts, b_rows, h_dim, nb,
 ):
     ii = pl.program_id(0)  # walks time blocks in REVERSE (i = nb-1-ii)
@@ -346,63 +356,42 @@ def _fused_bwd_kernel(
     d = xf_ref.shape[-1]
     gh = 4 * h_dim
     wx = wx_ref[:]
-    b = b_ref[:].astype(jnp.float32)
     wh = wh_ref[:]
 
-    # remat the block's input projections
-    xwf_scr[:] = (
-        jax.lax.dot_general(
-            xf_ref[:].reshape(ts * b_rows, d), wx[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b[0][None]
-    ).reshape(ts, b_rows, -1).astype(xwf_scr.dtype)
-    xwr_scr[:] = (
-        jax.lax.dot_general(
-            xr_ref[:].reshape(ts * b_rows, d), wx[1],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b[1][None]
-    ).reshape(ts, b_rows, -1).astype(xwr_scr.dtype)
-
-    # ---- forward in-block sweep: rebuild gate activations + carry entries
-    # h_prev comes from ys (equal to the carry wherever mask=1 under the
-    # zero-init + contiguous-mask contract; masked steps contribute zero
-    # dgates below so their garbage is inert). c rebuilt from the block
-    # checkpoint.
+    # h_prev / c_prev at step j come straight from the streamed fwd
+    # residuals (ys equals the h carry wherever mask=1 under the zero-init
+    # + contiguous-mask contract; masked steps contribute zero dgates below
+    # so their garbage is inert). Block boundary rows come from the
+    # previous time block's last row (ysp/cp views); kernel time 0 is the
+    # zero initial state.
     def h_prev_at(j):
-        if j == 0:  # block boundary: last row of the previous time block
+        if j == 0:
             return jnp.where(
-                ii == nb - 1,  # kernel time 0: zero initial state
-                jnp.zeros_like(ysp_ref[ts - 1]),
-                ysp_ref[ts - 1],
+                ii == nb - 1, jnp.zeros_like(ysp_ref[ts - 1]), ysp_ref[ts - 1]
             )
         return ys_ref[j - 1]
 
-    c = cck_ref[0].astype(jnp.float32)
-    for j in range(ts):
-        h_prev = h_prev_at(j)
-        xw_cat = jnp.concatenate(
-            [xwf_scr[j], xwr_scr[ts - 1 - j]], axis=0
-        ).astype(jnp.float32)
-        i, f, g, o, c2, _ = _cell_f32(xw_cat, h_prev, c, wh, 2, b_rows, h_dim)
-        acts_scr[j] = jnp.concatenate([i, f, g, o], axis=-1).astype(acts_scr.dtype)
-        tc_scr[j] = jnp.tanh(c2).astype(tc_scr.dtype)
-        cp_scr[j] = c.astype(cp_scr.dtype)  # carry BEFORE this step
-        m = jnp.concatenate([mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0)
-        c = jnp.where(m > 0, c2, c)
+    def c_prev_at(j):
+        if j == 0:
+            return jnp.where(
+                ii == nb - 1,
+                jnp.zeros_like(cp_ref[ts - 1]),
+                cp_ref[ts - 1],
+            ).astype(jnp.float32)
+        return c_ref[j - 1].astype(jnp.float32)
 
-    # ---- reverse in-block sweep: dgates, dwh, carry cotangents
+    # ---- single reverse sweep: dgates, dwh, carry cotangents (no remat —
+    # the v2 in-block forward sweep cost a full extra xproj + hidden matmul
+    # per step; see module header)
     for j in range(ts - 1, -1, -1):
-        acts = acts_scr[j].astype(jnp.float32)
+        acts = acts_ref[j].astype(jnp.float32)
         i = acts[:, :h_dim]
         f = acts[:, h_dim : 2 * h_dim]
         g = acts[:, 2 * h_dim : 3 * h_dim]
         o = acts[:, 3 * h_dim :]
-        tc = tc_scr[j].astype(jnp.float32)
-        c_prev = cp_scr[j].astype(jnp.float32)
+        # c_ref[j] is the (frozen) carry AFTER step j == c2 wherever mask=1
+        tc = jnp.tanh(c_ref[j].astype(jnp.float32))
+        c_prev = c_prev_at(j)
         m = jnp.concatenate(
             [mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0
         ).astype(jnp.float32)
@@ -481,7 +470,7 @@ def _fused_fwd_call(x, mask, wx, wh, b):
     interpret = jax.default_backend() != "tpu"
     rev3 = lambda i: (nb - 1 - i, 0, 0)
     rev2 = lambda i: (nb - 1 - i, 0)
-    ys, cck = pl.pallas_call(
+    ys, c_out, acts = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, ts=ts, b_rows=b_rows, h_dim=h_dim),
         grid=(nb,),
         in_specs=[
@@ -495,11 +484,13 @@ def _fused_fwd_call(x, mask, wx, wh, b):
         ],
         out_specs=(
             pl.BlockSpec((ts, r, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, r, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, r, gh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, r, h_dim), dt),
-            jax.ShapeDtypeStruct((nb, r, h_dim), dt),
+            jax.ShapeDtypeStruct((t_pad, r, h_dim), dt),
+            jax.ShapeDtypeStruct((t_pad, r, gh), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((r, h_dim), dt),
@@ -518,10 +509,10 @@ def _fused_fwd_call(x, mask, wx, wh, b):
         b.astype(dt),
         wh.astype(dt),
     )
-    return ys, cck
+    return ys, c_out, acts
 
 
-def _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy):
+def _fused_bwd_call(x, mask, wx, wh, b, ys, c_out, acts, dy):
     ts = TS_FUSED
     t, b_rows, d, t_pad, nb = _fused_common(x, ts)
     h_dim = wh.shape[1]
@@ -546,12 +537,13 @@ def _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy):
             pl.BlockSpec((ts, b_rows), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, b_rows), idn2, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, d, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, gh), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),  # ys block i
             pl.BlockSpec((ts, r, h_dim), prev3, memory_space=pltpu.VMEM),  # ys block i-1
-            pl.BlockSpec((1, r, h_dim), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),  # c block i
+            pl.BlockSpec((ts, r, h_dim), prev3, memory_space=pltpu.VMEM),  # c block i-1
+            pl.BlockSpec((ts, r, gh), rev3, memory_space=pltpu.VMEM),  # acts block i
+            pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),  # dy
         ],
         out_specs=(
             pl.BlockSpec((ts, b_rows, d), rev3, memory_space=pltpu.VMEM),
@@ -570,11 +562,6 @@ def _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy):
         scratch_shapes=[
             pltpu.VMEM((ts, b_rows, gh), dt),
             pltpu.VMEM((ts, b_rows, gh), dt),
-            pltpu.VMEM((ts, r, gh), dt),
-            pltpu.VMEM((ts, r, h_dim), dt),
-            pltpu.VMEM((ts, r, h_dim), jnp.float32),
-            pltpu.VMEM((ts, b_rows, gh), dt),
-            pltpu.VMEM((ts, b_rows, gh), dt),
             pltpu.VMEM((r, h_dim), jnp.float32),
             pltpu.VMEM((r, h_dim), jnp.float32),
         ],
@@ -586,11 +573,12 @@ def _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy):
         _pad_t(mask.astype(jnp.float32), t_pad),
         _pad_t(mask.astype(jnp.float32), t_pad),
         wx.astype(dt),
-        b.astype(dt),
         wh.astype(dt),
         ys,
         ys,
-        cck,
+        c_out,
+        c_out,
+        acts,
         dy.astype(dt),
     )
     # dxr rows are already in ORIGINAL time order: the reversed stream's
@@ -615,18 +603,18 @@ def lstm_seq_fused(
     time; rows [B,2B) = backward stream in KERNEL time (callers flip over
     T_pad then slice [:T] — see ops/rnn.py bidir).
     """
-    ys, _ = _fused_fwd_call(x, mask, wx, wh, b)
+    ys, _, _ = _fused_fwd_call(x, mask, wx, wh, b)
     return ys
 
 
 def _fused_vjp_fwd(x, mask, wx, wh, b):
-    ys, cck = _fused_fwd_call(x, mask, wx, wh, b)
-    return ys, (x, mask, wx, wh, b, ys, cck)
+    ys, c_out, acts = _fused_fwd_call(x, mask, wx, wh, b)
+    return ys, (x, mask, wx, wh, b, ys, c_out, acts)
 
 
 def _fused_vjp_bwd(res, dy):
-    x, mask, wx, wh, b, ys, cck = res
-    dx, dwx, dwh, db = _fused_bwd_call(x, mask, wx, wh, b, ys, cck, dy)
+    x, mask, wx, wh, b, ys, c_out, acts = res
+    dx, dwx, dwh, db = _fused_bwd_call(x, mask, wx, wh, b, ys, c_out, acts, dy)
     return (
         dx.astype(x.dtype),
         jnp.zeros_like(mask, jnp.float32),

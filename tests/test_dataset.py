@@ -116,3 +116,36 @@ def test_text_loader():
         for j in np.where(valid)[0]:
             assert batch["text"][j, batch["text_len"][j] - 1] == tok.eos_idx
     assert total == 16
+
+
+def test_per_bucket_batch_sizes():
+    """batch_size may be a per-bucket list: short buckets run bigger B
+    (TPU fill policy) while long buckets keep the reference constant."""
+    from e2e_asr_tpu.data.dataset import BucketedLoader, build_tokenizer
+
+    cfg = synth_config()
+    utts = corpus_mod.load_corpus("synthetic", "", ["train:24"])
+    tok = build_tokenizer(cfg.data, utts)
+    ld = BucketedLoader(
+        utts, tok, batch_size=[8, 4, 2],
+        buckets_frames=[208, 416, 816], token_buckets=[32, 48, 64],
+        win=400, shift=160, half_batch_len=4000, shuffle=False, num_workers=0,
+    )
+    seen = {}
+    n_utts = 0
+    for batch in ld.epoch(0):
+        b, n, l = batch.shape_key
+        bi = ld.buckets_samples.index(n)
+        seen.setdefault(bi, set()).add(b)
+        n_utts += sum(1 for u in batch.uids if u)
+    assert n_utts == ld.num_utts
+    for bi, bs in seen.items():
+        assert len(bs) == 1, f"bucket {bi} emitted several shapes: {bs}"
+        assert bs.pop() <= [8, 4, 2][bi]
+    # scalar batch_size behaves exactly as before
+    ld2 = BucketedLoader(
+        utts, tok, batch_size=4,
+        buckets_frames=[208, 416, 816], token_buckets=[32, 48, 64],
+        win=400, shift=160, half_batch_len=4000, shuffle=False, num_workers=0,
+    )
+    assert ld2.num_utts == ld.num_utts

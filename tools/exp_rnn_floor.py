@@ -90,6 +90,7 @@ def main():
             in_specs=[pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((r, h_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((r, h_dim), dt),
+            scratch_shapes=[pltpu.VMEM((r, h_dim), dt)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         )
         return jax.jit(lambda w: fn(w).astype(jnp.float32).sum())

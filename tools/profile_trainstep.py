@@ -82,88 +82,23 @@ def main():
     sec_full = time_fn(lambda s, bt: step(s, bt, key)[1]["loss"], state, batch, iters=5)
     print(f"full train step:          {sec_full*1e3:8.1f} ms")
 
-    # frontend (fwd only — no params behind it)
-    fe = jax.jit(lambda w, l_: compute_features(w, l_, cfg.data.audio)[0].astype(jnp.float32).sum())
-    sec = time_fn(fe, wav, wl, iters=5)
-    print(f"frontend fwd:             {sec*1e3:8.1f} ms")
+    # per-stage speed-of-light table (shared with bench.py stages stage)
+    from e2e_asr_tpu.utils import stages as stages_mod
 
-    feat, feat_len = jax.jit(lambda w, l_: compute_features(w, l_, cfg.data.audio))(wav, wl)
-    featb = jax.device_put(feat.astype(jnp.bfloat16))
+    measured = stages_mod.measure_stages(cfg, b, tf_, l, vocab, iters=5)
+    rep = stages_mod.stage_report(cfg, b, tf_, l, vocab, measured)
+    print(f"{'stage':<14} {'ms':>8} {'ceiling':>8} {'sol':>6}  bound")
+    for k, v in rep.items():
+        print(f"{k:<14} {v['ms']:>8.1f} {v['ceiling_ms']:>8.1f} {v['sol']:>6.2f}  {v['bound']}")
 
-    # encoder fwd
-    enc_f = jax.jit(lambda p, f, fl: asr_mod.encode(p, cfg.model, f, fl)[0].astype(jnp.float32).sum())
-    sec = time_fn(enc_f, params, featb, feat_len, iters=5)
-    print(f"encoder fwd:              {sec*1e3:8.1f} ms")
-
-    # encoder fwd+bwd
-    def _vg(f):
-        def g(*a):
-            v, gr = jax.value_and_grad(f)(*a)
-            return v + sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(gr))
-        return g
-
-    enc_g = jax.jit(_vg(enc_f))
-    sec = time_fn(enc_g, params, featb, feat_len, iters=5)
-    print(f"encoder fwd+bwd:          {sec*1e3:8.1f} ms")
-
-    enc, enc_len = jax.jit(lambda p, f, fl: asr_mod.encode(p, cfg.model, f, fl))(params, featb, feat_len)
-    enc = jax.device_put(enc)
-
-    # ctc head + lattice fwd+bwd (wrt params so head matmul grads included)
-    def ctc_obj(p, e):
-        lp = asr_mod.ctc_log_probs(p, e).astype(jnp.float32)
-        lab_len = jnp.maximum(tl - 1, 0)
-        pos = jnp.arange(text.shape[1])[None, :]
-        labels = jnp.where(pos < lab_len[:, None], text, 0)
-        nll = ctc_loss(lp, enc_len, labels, lab_len, impl="auto")
-        return jnp.sum(nll / jnp.maximum(lab_len, 1)) / b
-
-    ctc_g = jax.jit(_vg(lambda p: ctc_obj(p, enc)))
-    sec = time_fn(ctc_g, params, iters=5)
-    print(f"ctc head+lattice f+b:     {sec*1e3:8.1f} ms")
-
-    # attention decoder scan fwd+bwd (enc held constant, grads wrt params)
-    from e2e_asr_tpu.models import attention as att_mod
-    from e2e_asr_tpu.models import decoder as dec_mod
-
-    def dec_obj(p, e):
-        mem = att_mod.prepare(p["attention"], cfg.model.attention, e, enc_len)
-        carry0 = asr_mod.DecodeCarry(
-            dec_mod.init_state(b, cfg.model.decoder, e.dtype),
-            att_mod.init_align(cfg.model.attention, mem).astype(e.dtype),
-            jnp.zeros((b,), jnp.int32),
-        )
-        teacher_in = jnp.concatenate([jnp.zeros((b, 1), text.dtype), text[:, : l - 1]], 1)
-        rngs = jax.random.split(key, l)
-        coins = jnp.ones((l,), bool)
-
-        @jax.checkpoint
-        def body(carry, inp):
-            tok, coin, r = inp
-            logits, align, hidden, nc = asr_mod.attend_and_step(
-                p, cfg.model, mem, carry, tok, rng=r, train=True
-            )
-            return nc._replace(prev_tok=tok), logits
-
-        _, logits = jax.lax.scan(
-            body, carry0, (jnp.moveaxis(teacher_in, 0, 1), coins, rngs), unroll=16
-        )
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        return -jnp.mean(jnp.take_along_axis(logp, jnp.moveaxis(text, 0, 1)[..., None], -1))
-
-    # grads wrt (params, enc): without d_enc the per-step dk/dv accumulations
-    # (the scan transpose's dominant HBM cost) would be dead code
-    dec_g = jax.jit(_vg(lambda pe: dec_obj(pe[0], pe[1])))
-    sec = time_fn(dec_g, (params, enc), iters=5)
-    print(f"decoder scan f+b:         {sec*1e3:8.1f} ms")
-
-    # optimizer update alone
-    grads = jax.jit(
-        lambda p, f, fl: jax.grad(lambda pp: enc_f(pp, f, fl) * 0 + sum(jnp.sum(x) for x in jax.tree.leaves(pp)))(p)
-    )(params, featb, feat_len)
+    # optimizer update alone (HBM roofline; mostly overlapped inside the
+    # fused step — the standalone number carries the dispatch floor)
+    grads = jax.tree.map(lambda x: jnp.full_like(x, 1e-4), params)
     upd = jax.jit(lambda g, s, p: tx.update(g, s, p)[0])
     sec = time_fn(lambda g, s, p: jax.tree.leaves(upd(g, s, p))[0].sum(), grads, state.opt_state, params, iters=5)
-    print(f"optimizer update:         {sec*1e3:8.1f} ms")
+    n_par = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    ceil_ms = 7 * n_par * 4 / stages_mod.HBM_PEAK * 1e3
+    print(f"optimizer update:         {sec*1e3:8.1f} ms (HBM ceiling {ceil_ms:.1f} ms, {n_par/1e6:.1f}M params)")
 
 
 if __name__ == "__main__":
