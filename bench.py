@@ -62,11 +62,11 @@ _result = {
     "note": (
         "vs_baseline is vs REAL-TIME audio (1.0 = processed as fast as it plays) — "
         "the reference publishes no throughput and its mount is empty, so no "
-        "reference comparison exists; sol_compute is vs the MEASURED 77 bf16 TF/s "
-        "envelope of this chip+tunnel (nominal v5e: 197), sol_memory vs NOMINAL "
-        "819 GB/s HBM; per-stage sol values in extra.stages are each vs that "
-        "stage's OWN ceiling (latency model for recurrences, compute/memory "
-        "roofline otherwise)"
+        "reference comparison exists; sol_compute is vs the MEASURED SUSTAINED "
+        "137.9 bf16 TF/s in-program envelope of this chip (nominal v5e: 197; the "
+        "round-1 77 TF/s single-dispatch figure is refuted as dispatch-bound), "
+        "sol_memory vs NOMINAL 819 GB/s HBM; per-stage sol values in "
+        "extra.stages are each vs that stage's OWN ceiling"
     ),
     "extra": {},
 }
@@ -177,12 +177,13 @@ def bench_train_maxfill(cfg, mesh, state, step) -> float:
         from e2e_asr_tpu.utils import profiling as prof
 
         util["achieved_tflops"] = round(flops / step_s / 1e12, 2)
-        # compute SoL vs the MEASURED matmul envelope (77 TF/s, BASELINE.md);
-        # memory SoL vs NOMINAL HBM (819 GB/s): the round-1 "measured" HBM
-        # figure (84 GB/s) is refuted by real programs sustaining ~4x it
-        # (this very step: cost-analysis bytes / step time ≈ 290 GB/s), so
-        # it was a microbenchmark artifact, not the chip ceiling.
-        util["sol_compute"] = round(flops / prof.MEASURED_BF16_FLOPS / step_s, 3)
+        # compute SoL vs the MEASURED SUSTAINED in-program envelope
+        # (137.9 TF/s, tools/exp_mxu_envelope.py round 5); memory SoL vs
+        # NOMINAL HBM (819 GB/s). Both single-dispatch "measured" figures
+        # from round 1 (77 TF/s, 84 GB/s) are refuted as dispatch-bound.
+        util["sol_compute"] = round(
+            flops / prof.MEASURED_SUSTAINED_BF16_FLOPS / step_s, 3
+        )
         util["sol_memory"] = round(bytes_acc / prof.PEAK_HBM_GBPS / step_s, 3)
     # state buffers were donated through the step; hand the live one back
     return b * N_SAMPLES / SR * iters / best / jax.device_count(), state, util

@@ -25,10 +25,18 @@ PEAK_HBM_GBPS = 819e9
 # (2026-08-19, on-device microbenchmarks with value-readback timing; see
 # BASELINE.md "Measured hardware envelope"). Far below nominal — use these
 # for speed-of-light ratios or every roofline reads ~10x pessimistic.
-MEASURED_BF16_FLOPS = 77e12
-MEASURED_HBM_READ_GBPS = 84e9
+MEASURED_BF16_FLOPS = 77e12  # REFUTED as a chip ceiling round 5 (see below)
+MEASURED_HBM_READ_GBPS = 84e9  # REFUTED round 4: real programs sustain ~290 GB/s
 MEASURED_HBM_WRITE_GBPS = 54e9
 MEASURED_DISPATCH_FLOOR_S = 1.3e-3  # per jitted-call overhead through the tunnel
+
+# Round-5 correction (tools/exp_mxu_envelope.py): a CHAIN of dependent
+# 4096^3 bf16 matmuls inside one jitted program sustains 137.9 TF/s — the
+# round-1 "77 TF/s measured envelope" timed a single 8k-cube dispatch
+# through the tunnel and was dispatch/wall-noise-bound, the same artifact
+# that produced the refuted 84 GB/s HBM figure. Speed-of-light ratios use
+# this sustained figure (70% of the 197 TF/s nominal peak).
+MEASURED_SUSTAINED_BF16_FLOPS = 137.9e12
 
 
 @contextlib.contextmanager

@@ -7,9 +7,9 @@ unanswerable. This module gives every stage its OWN ceiling:
 - matmul-dominated stages (VGG, recurrence, input projections): analytic
   FLOPs vs the bf16 MXU envelope. Round-5 probes (tools/exp_rnn_floor.py,
   tools/exp_mxu_envelope.py) showed in-kernel Pallas matmul chains sustain
-  ~nominal MXU throughput — the round-1 "measured 77 TF/s envelope" was an
-  artifact of timing one dispatch through the axon tunnel, so ceilings here
-  use NOMINAL peak and the artifact note says so.
+  ~sustained MXU throughput (137.9 TF/s measured in-program round 5) — the
+  round-1 "measured 77 TF/s envelope" was an artifact of timing one
+  dispatch through the axon tunnel; ceilings use the sustained figure.
 - the frontend: f32-precision DFT matmuls (HIGHEST ~ 3 bf16 passes).
 - the CTC lattice: a serial fori-loop ceiling (VPU row ops per lattice
   step, two sweeps).
@@ -34,13 +34,15 @@ import numpy as np
 
 from e2e_asr_tpu.utils import profiling as prof
 
-# Nominal v5e bf16 MXU peak (see module docstring for why ceilings use
-# nominal, not the round-1 "measured" 77 TF/s).
-MXU_PEAK = prof.PEAK_BF16_FLOPS
+# Sustained bf16 MXU envelope measured IN-PROGRAM on this chip (round 5,
+# tools/exp_mxu_envelope.py: 137.9 TF/s over a chained-4096^3 program —
+# 70% of the 197 TF/s nominal peak; the round-1 "77 TF/s" single-dispatch
+# figure is refuted as dispatch-floor-bound). Stage ceilings use this.
+MXU_PEAK = prof.MEASURED_SUSTAINED_BF16_FLOPS
 HBM_PEAK = prof.PEAK_HBM_GBPS
 # serial per-lattice-step floor of the CTC kernel's fori_loop (VPU row ops
 # + in-place gamma write at [bc, S_pad]; measured round 5 on one v5e)
-CTC_STEP_FLOOR_S = 0.8e-6
+CTC_STEP_FLOOR_S = 0.6e-6
 
 
 def _lstm_layer_flops(b: int, t: int, d_in: int, h: int) -> Tuple[float, float]:
