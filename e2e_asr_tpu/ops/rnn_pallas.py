@@ -275,6 +275,37 @@ def _lstm_seq_bwd_call(xw, mask, wh, ys, c_out, dy):
 TS_FUSED = 8
 
 
+def _pick_ts_fused(b_rows: int, d: int, h_dim: int) -> int:
+    """VMEM-aware timesteps-per-block for the fused kernels.
+
+    The v3 BACKWARD is the binding kernel: per grid step it holds
+    double-buffered streams (x fwd+rev, acts, ys/ysp/c/cp/dy, dx fwd+rev),
+    the dgate scratch, and the fixed weight/grad buffers. At the flagship
+    B=128 everything fits at TS=8; the realistic ladder's B=192 buckets
+    overflow (measured: 107.7M vs the 95.4M scoped limit), so TS halves
+    until the model fits ~88M. fwd and bwd share the picked TS because the
+    bwd re-pads its streams to its own T_pad — they must agree.
+    E2E_RNN_TS forces a value (experiments)."""
+    import os
+
+    forced = os.environ.get("E2E_RNN_TS", "")
+    if forced:
+        return int(forced)
+    gh = 4 * h_dim
+    r = 2 * b_rows
+    fixed = (2 * d * gh + 2 * h_dim * gh) * 2  # wx+wh bf16
+    fixed += (2 * d * gh + 2 * h_dim * gh) * 4  # dwx+dwh f32
+    fixed += 2 * r * h_dim * 4 * 2  # dh/dc f32 scratch
+    ts = TS_FUSED
+    while ts > 1:
+        streams = (4 * ts * b_rows * d + ts * r * gh + 5 * ts * r * h_dim) * 2 * 2
+        scratch = 2 * ts * b_rows * gh * 2
+        if fixed + streams + scratch <= 88e6:
+            break
+        ts //= 2
+    return ts
+
+
 def _cell_f32(xw_cat, h, c, wh, d_dirs, b_rows, h_dim):
     gates = xw_cat + _hidden_matmul(h, wh, d_dirs, b_rows)
     i = jax.nn.sigmoid(gates[:, :h_dim])
@@ -324,7 +355,7 @@ def _fused_fwd_kernel(
         ).astype(jnp.float32)
         h, c = h_scr[:], c_scr[:]
         i, f, g, o, c2, h2 = _cell_f32(xw_cat, h, c, wh, 2, b_rows, h_dim)
-        m = jnp.concatenate([mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0) > 0
+        m = jnp.concatenate([mf_ref[j], mr_ref[ts - 1 - j]], axis=0) > 0
         h_new = jnp.where(m, h2.astype(h.dtype), h)
         c_new = jnp.where(m, c2.astype(c.dtype), c)
         h_scr[:] = h_new
@@ -393,7 +424,7 @@ def _fused_bwd_kernel(
         tc = jnp.tanh(c_ref[j].astype(jnp.float32))
         c_prev = c_prev_at(j)
         m = jnp.concatenate(
-            [mf_ref[j][:, None], mr_ref[ts - 1 - j][:, None]], axis=0
+            [mf_ref[j], mr_ref[ts - 1 - j]], axis=0
         ).astype(jnp.float32)
 
         dh2 = m * (dy_ref[j].astype(jnp.float32) + dh_scr[:])
@@ -461,7 +492,7 @@ def _fused_common(x, ts):
 
 
 def _fused_fwd_call(x, mask, wx, wh, b):
-    ts = TS_FUSED
+    ts = _pick_ts_fused(x.shape[1], x.shape[2], wh.shape[1])
     t, b_rows, d, t_pad, nb = _fused_common(x, ts)
     h_dim = wh.shape[1]
     gh = 4 * h_dim
@@ -476,8 +507,11 @@ def _fused_fwd_call(x, mask, wx, wh, b):
         in_specs=[
             pl.BlockSpec((ts, b_rows, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, b_rows, d), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, b_rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, b_rows), rev2, memory_space=pltpu.VMEM),
+            # masks ride as [T, B, 1] so the Mosaic-checked trailing dims
+            # are (B, 1) — legal for any ts (a 2-D (ts, B) block is illegal
+            # once the VMEM picker drops ts below 8)
+            pl.BlockSpec((ts, b_rows, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows, 1), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, d, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, gh), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -503,8 +537,8 @@ def _fused_fwd_call(x, mask, wx, wh, b):
     )(
         _pad_t(x, t_pad),
         _pad_t(x, t_pad),
-        _pad_t(mask.astype(jnp.float32), t_pad),
-        _pad_t(mask.astype(jnp.float32), t_pad),
+        _pad_t(mask.astype(jnp.float32), t_pad)[..., None],
+        _pad_t(mask.astype(jnp.float32), t_pad)[..., None],
         wx.astype(dt),
         b.astype(dt),
         wh.astype(dt),
@@ -513,7 +547,7 @@ def _fused_fwd_call(x, mask, wx, wh, b):
 
 
 def _fused_bwd_call(x, mask, wx, wh, b, ys, c_out, acts, dy):
-    ts = TS_FUSED
+    ts = _pick_ts_fused(x.shape[1], x.shape[2], wh.shape[1])
     t, b_rows, d, t_pad, nb = _fused_common(x, ts)
     h_dim = wh.shape[1]
     gh = 4 * h_dim
@@ -534,8 +568,8 @@ def _fused_bwd_call(x, mask, wx, wh, b, ys, c_out, acts, dy):
         in_specs=[
             pl.BlockSpec((ts, b_rows, d), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, b_rows, d), idn3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, b_rows), rev2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, b_rows), idn2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows, 1), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, b_rows, 1), idn3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, d, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, h_dim, gh), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, r, h_dim), rev3, memory_space=pltpu.VMEM),  # ys block i
@@ -570,8 +604,8 @@ def _fused_bwd_call(x, mask, wx, wh, b, ys, c_out, acts, dy):
     )(
         _pad_t(x, t_pad),
         _pad_t(x, t_pad),
-        _pad_t(mask.astype(jnp.float32), t_pad),
-        _pad_t(mask.astype(jnp.float32), t_pad),
+        _pad_t(mask.astype(jnp.float32), t_pad)[..., None],
+        _pad_t(mask.astype(jnp.float32), t_pad)[..., None],
         wx.astype(dt),
         wh.astype(dt),
         ys,

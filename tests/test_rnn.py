@@ -190,3 +190,31 @@ def test_bidir_pallas_padding_invariance():
     y2 = bidir(jnp.asarray(x2), lens, wf, wb, impl="pallas")
     np.testing.assert_allclose(np.asarray(y1[0, :6]), np.asarray(y2[0, :6]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1[0, 6:]), 0.0)
+
+
+def test_bidir_pallas_small_ts_parity(monkeypatch):
+    """The VMEM-aware TS picker drops below 8 at big batch*dim shapes
+    (B=192 layer-1 overflowed the scoped limit); force TS=4 and assert
+    value+grad parity — covers the 3-D mask-block path that a 2-D block
+    would make Mosaic-illegal."""
+    from e2e_asr_tpu.ops.rnn import bidir
+
+    monkeypatch.setenv("E2E_RNN_TS", "4")
+    rng = np.random.RandomState(9)
+    b_, t, d, h = 3, 14, 6, 8  # t=14: pads to 16 at ts=4
+    x = jnp.asarray(rng.randn(b_, t, d).astype(np.float32))
+    lens = jnp.asarray([14, 10, 5])
+    wf, wb = _rand_w(rng, d, h), _rand_w(rng, d, h)
+
+    def obj(impl):
+        def f(xx, a, c):
+            return (bidir(xx, lens, a, c, cell="lstm", impl=impl) ** 2).sum()
+        v, g = jax.value_and_grad(f, argnums=(0, 1, 2))(x, wf, wb)
+        return v, g
+
+    v_p, g_p = obj("pallas")
+    monkeypatch.delenv("E2E_RNN_TS")
+    v_s, g_s = obj("scan")
+    np.testing.assert_allclose(float(v_p), float(v_s), rtol=1e-5)
+    for a, b2 in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=1e-4, atol=1e-4)
