@@ -138,27 +138,44 @@ class BucketedLoader:
 
         # duration-sorted, grouped per bucket (ref: bucketing sorts by len)
         self._items.sort(key=lambda it: it[0].n_samples)
+        self._half_batch_len = half_batch_len
+        self._drop_remainder = drop_remainder
+        self.rebatch(batch_size)
+        # pad-efficiency counters (round-3 verdict weak item 2): real audio
+        # samples vs slot samples materialized, reset per epoch() call
+        import threading
+
+        self._fill_lock = threading.Lock()
+        self.fill_num = 0
+        self.fill_den = 0
+
+    def rebatch(self, batch_size) -> None:
+        """(Re)compute the batch partition for new per-bucket batch sizes
+        WITHOUT re-tokenizing the manifest (~seconds of host work per
+        loader build on a 2-core box; bench.py's compile-settle loop
+        adjusts batch sizes several times).
+
+        batch_size: one int for all buckets (reference semantics), or a
+        per-bucket list — short buckets underfill the chip at the global
+        B, so a TPU-tuned ladder runs bigger batches there (round-4
+        verdict item 3: derive per-bucket B from the step-time model, not
+        the reference's single constant)."""
         per_bucket: Dict[int, List[int]] = {}
         for idx, (_, _, bi) in enumerate(self._items):
             per_bucket.setdefault(bi, []).append(idx)
-        # batch_size: one int for all buckets (reference semantics), or a
-        # per-bucket list — short buckets underfill the chip at the global
-        # B, so a TPU-tuned ladder runs bigger batches there (round-4
-        # verdict item 3: derive per-bucket B from the step-time model, not
-        # the reference's single constant)
         if isinstance(batch_size, (list, tuple)):
-            assert len(batch_size) == len(buckets_frames)
+            assert len(batch_size) == len(self.buckets_frames)
             bs_per_bucket = [int(x) for x in batch_size]
         else:
-            bs_per_bucket = [int(batch_size)] * len(buckets_frames)
+            bs_per_bucket = [int(batch_size)] * len(self.buckets_frames)
         self._batches: List[Tuple[int, List[int]]] = []
         for bi, idxs in sorted(per_bucket.items()):
             bs = bs_per_bucket[bi]
-            if self.buckets_frames[bi] > half_batch_len:
+            if self.buckets_frames[bi] > self._half_batch_len:
                 bs = max(1, bs // 2)  # ref: HALF_BATCHSIZE_AUDIO_LEN
             for s in range(0, len(idxs), bs):
                 chunk = idxs[s : s + bs]
-                if drop_remainder and len(chunk) < bs:
+                if self._drop_remainder and len(chunk) < bs:
                     continue
                 self._batches.append((bi, chunk))
 
@@ -171,13 +188,6 @@ class BucketedLoader:
         p = self.process_count
         for bi in self._pad_bs:
             self._pad_bs[bi] = ((self._pad_bs[bi] + p - 1) // p) * p
-        # pad-efficiency counters (round-3 verdict weak item 2): real audio
-        # samples vs slot samples materialized, reset per epoch() call
-        import threading
-
-        self._fill_lock = threading.Lock()
-        self.fill_num = 0
-        self.fill_den = 0
 
     def _bucket_index(self, n_samples: int, n_tokens: int) -> Optional[int]:
         for i, (bs, tb) in enumerate(zip(self.buckets_samples, self.token_buckets)):
@@ -191,6 +201,16 @@ class BucketedLoader:
     @property
     def num_utts(self) -> int:
         return len(self._items)
+
+    def bucket_counts(self) -> List[int]:
+        """Utterances assigned per bucket — lets callers quantize
+        per-bucket batch sizes to the actual counts (a batch size that
+        does not divide the bucket's population pads the last chunk with
+        empty rows; bench.py sizes B_i = ceil(n_i / ceil(n_i / cap)))."""
+        out = [0] * len(self.buckets_frames)
+        for _, _, bi in self._items:
+            out[bi] += 1
+        return out
 
     def batch_shapes(self) -> List[Tuple[int, int, int]]:
         """Distinct (local_rows, n_samples, l_tokens) batch shapes this

@@ -298,9 +298,15 @@ def _pick_ts_fused(b_rows: int, d: int, h_dim: int) -> int:
     fixed += 2 * r * h_dim * 4 * 2  # dh/dc f32 scratch
     ts = TS_FUSED
     while ts > 1:
-        streams = (4 * ts * b_rows * d + ts * r * gh + 5 * ts * r * h_dim) * 2 * 2
+        # double-buffered streams: x in (2 views) + dx out (2 views) +
+        # acts + ys/ysp/c/cp/dy. Calibrated against the compiler's actual
+        # scoped-vmem accounting (round 5): at D=1280, H=320 this model
+        # reads 97.6/93.8/86.3 MB for B=152/144/128 vs the compiler's
+        # 96.3/~92.6/~85.2 — within ~1.5 MB. Budget 94 MB stays under the
+        # 95.37 MB scoped limit with that modeling error.
+        streams = (6 * ts * b_rows * d + ts * r * gh + 5 * ts * r * h_dim) * 2 * 2
         scratch = 2 * ts * b_rows * gh * 2
-        if fixed + streams + scratch <= 88e6:
+        if fixed + streams + scratch <= 94e6:
             break
         ts //= 2
     return ts
