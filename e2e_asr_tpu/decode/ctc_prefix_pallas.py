@@ -40,23 +40,93 @@ def _lse(a, b):
 
 
 def _kernel(lpc_ref, phi_ref, lpb_ref, v_ref, rn_out, rb_out, psi_ref, rn_s, rb_s, *, ts):
+    """Blockwise LOG-DEPTH formulation (round 5). The recursion
+
+        rn_t = lse(rn_{t-1}, phi_t) + c_t
+
+    is a linear log-space scan with INPUT phi (phi comes from the previous
+    beam step, it is not a carry), so within a block it has the closed form
+
+        rn_j = C_j + lse(rn_in, E_j),   C_j = sum_{u<=j} c_u,
+        E_j  = lse-scan_{s<=j}(phi_s - C_{s-1})
+
+    where C is a plain prefix sum and E an inclusive lse prefix scan —
+    both Hillis-Steele, depth log2(ts), instead of ts serial lse rounds.
+    rb has the same form over lpb with source g_j = v_j ? rn_{j-1} : -inf
+    (available once the rn block is solved), and psi is a plain lse tree
+    reduction.
+
+    MEASURED OUTCOME (round 5, 960h shape B=16 W=16 S=764): neutral —
+    332.7 vs 329.1 ms whole-beam; the kernel is HBM-BOUND, not
+    latency-bound: it streams ~113 MB of [T, N] f32 per decode step
+    (lpc/phi/lpb/v in + rn/rb out ≈ 230 GB/s sustained), so chain depth
+    was never the limiter. Kept because the depth-log form costs nothing
+    and pins the finding; the remaining prefix headroom is BYTES — lpb
+    and v are per-utterance (not per-candidate) and could stream as
+    [T, B] + in-kernel lane broadcast (-34% traffic), and bf16 inputs
+    would halve the rest at a numerics cost. Semantics are exactly the
+    serial recursion's (tests cover parity vs the lax.scan reference and
+    brute-force prefix enumeration)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         rn_s[:] = jnp.full_like(rn_s, NEG)
         rb_s[:] = jnp.full_like(rb_s, NEG)
         psi_ref[:] = jnp.full_like(psi_ref, NEG)
 
+    lpc = [lpc_ref[j] for j in range(ts)]
+    phi = [phi_ref[j] for j in range(ts)]
+    lpb = [lpb_ref[j] for j in range(ts)]
+
+    # C: inclusive prefix sums of lpc (cheap adds; Hillis-Steele)
+    c_pre = list(lpc)
+    k = 1
+    while k < ts:
+        for j in range(ts - 1, k - 1, -1):
+            c_pre[j] = c_pre[j] + c_pre[j - k]
+        k *= 2
+    # E: inclusive lse prefix scan of d_j = phi_j - C_{j-1}
+    e_scan = [phi[0]] + [phi[j] - c_pre[j - 1] for j in range(1, ts)]
+    k = 1
+    while k < ts:
+        for j in range(ts - 1, k - 1, -1):
+            e_scan[j] = _lse(e_scan[j], e_scan[j - k])
+        k *= 2
+    rn_in = rn_s[:]
+    rn = [c_pre[j] + _lse(rn_in, e_scan[j]) for j in range(ts)]
+
+    # rb: same closed form over lpb; source term gated by v
+    g = [jnp.where(v_ref[0] > 0, rn_in, NEG)] + [
+        jnp.where(v_ref[j] > 0, rn[j - 1], NEG) for j in range(1, ts)
+    ]
+    b_pre = list(lpb)
+    k = 1
+    while k < ts:
+        for j in range(ts - 1, k - 1, -1):
+            b_pre[j] = b_pre[j] + b_pre[j - k]
+        k *= 2
+    f_scan = [g[0]] + [g[j] - b_pre[j - 1] for j in range(1, ts)]
+    k = 1
+    while k < ts:
+        for j in range(ts - 1, k - 1, -1):
+            f_scan[j] = _lse(f_scan[j], f_scan[j - k])
+        k *= 2
+    rb_in = rb_s[:]
+    rb = [b_pre[j] + _lse(rb_in, f_scan[j]) for j in range(ts)]
+
+    # psi: lse tree reduction of phi_j + lpc_j
+    acc = [phi[j] + lpc[j] for j in range(ts)]
+    stride = 1
+    while stride < ts:
+        for j in range(0, ts - stride, 2 * stride):
+            acc[j] = _lse(acc[j], acc[j + stride])
+        stride *= 2
+    psi_ref[:] = _lse(psi_ref[:], acc[0])
+
     for j in range(ts):
-        lp_c = lpc_ref[j]
-        phi = phi_ref[j]
-        rn_p, rb_p = rn_s[:], rb_s[:]
-        rn_t = _lse(rn_p, phi) + lp_c
-        rb_t = _lse(rb_p, jnp.where(v_ref[j] > 0, rn_p, NEG)) + lpb_ref[j]
-        psi_ref[:] = _lse(psi_ref[:], phi + lp_c)
-        rn_s[:] = rn_t
-        rb_s[:] = rb_t
-        rn_out[j] = rn_t
-        rb_out[j] = rb_t
+        rn_out[j] = rn[j]
+        rb_out[j] = rb[j]
+    rn_s[:] = rn[ts - 1]
+    rb_s[:] = rb[ts - 1]
 
 
 def prefix_recursion(
