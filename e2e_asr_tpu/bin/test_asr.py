@@ -189,6 +189,7 @@ class Solver(BaseSolver):
             audio_sec = 0.0
             t_dev = 0.0
             t_rd = 0.0  # input wall: materialization the decode waited on
+            t_post = 0.0  # host postproc: detokenize + row assembly
             n_utt = 0
             it = iter(pf)
             while True:
@@ -204,9 +205,10 @@ class Solver(BaseSolver):
                     self.params, self.lm_params, wav_dev, wl_dev, max_step
                 )
                 toks = np.asarray(res.tokens)
-                t_dev += time.time() - t_b  # dispatch+device+readback
                 lens = np.asarray(res.lengths)
                 scores = np.asarray(res.scores)
+                t_dev += time.time() - t_b  # dispatch+device+readbacks
+                t_p = time.time()
                 text = np.asarray(batch.text)
                 for i, uid in enumerate(batch.uids):
                     if not uid:
@@ -219,6 +221,7 @@ class Solver(BaseSolver):
                         rows_beam.append((uid, truth, hyp, float(scores[i, wi])))
                     n_utt += 1
                     audio_sec += float(batch.wav_len[i]) / cfg.data.audio.sample_rate
+                t_post += time.time() - t_p
                 self.progress(f"[{split}] decoded {n_utt} utts")
         finally:
             pf.close()
@@ -274,7 +277,7 @@ class Solver(BaseSolver):
         self.verbose(
             f"[{split}] decoded {n_utt} utts{procs} | {mode} {err / max(tot,1):.4f} | "
             f"{audio_sec / wall:.1f} audio-s/s (compile {t_compile:.1f}s excl.; "
-            f"device {t_dev:.1f}s + input {t_rd:.1f}s of {wall:.1f}s wall) | "
+            f"device {t_dev:.1f}s + input {t_rd:.1f}s + post {t_post:.1f}s of {wall:.1f}s wall) | "
             f"results -> {self.outdir}"
         )
         return err / max(tot, 1)
